@@ -1,0 +1,174 @@
+"""Streaming encoder session (reference ``src/encoder.rs``).
+
+Reads interleaved i16 LE PCM from a file-like reader, writes ``.sea`` to a
+file-like writer, one chunk per ``encode_frame`` call. The file header is
+written after the first chunk (so ``chunk_size`` is known) except in explicit
+streaming mode (``total_frames == 0``), where it is written upfront with
+``chunk_size`` still 0 (reference ``encoder.rs:70-77,134-138``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+import numpy as np
+
+from .container import CHUNK_TYPE_CBR, CHUNK_TYPE_VBR, SeaChunk, SeaFileHeader
+from .models import CbrEncoderModel, VbrEncoderModel
+from .utils.errors import SeaEncoderClosed, SeaInvalidParameters, SeaReadError
+from .utils.io import read_max_or_zero
+
+
+@dataclass
+class EncoderSettings:
+    """Mirrors the reference ``EncoderSettings`` (``encoder.rs:16-35``).
+
+    ``metadata`` is an extension: UTF-8 ``key=value\\n`` pairs stored in the
+    file header (the reference format reserves the field but its encoder API
+    never populates it).
+    """
+
+    scale_factor_bits: int = 4
+    scale_factor_frames: int = 20
+    residual_bits: float = 3.0  # 1-8 (CBR: integer; VBR: 1.5-8.0)
+    frames_per_chunk: int = 5120
+    vbr: bool = False
+    metadata: str = ""
+
+
+class _State(Enum):
+    START = 0
+    WRITING_FRAMES = 1
+    FINISHED = 2
+
+
+class SeaEncoder:
+    def __init__(
+        self,
+        channels: int,
+        sample_rate: int,
+        total_frames: int | None,
+        settings: EncoderSettings,
+        reader,
+        writer,
+    ):
+        if not (1 <= channels <= 255):
+            raise SeaInvalidParameters("channels must be 1..=255")
+        if settings.frames_per_chunk <= 0 or settings.scale_factor_frames <= 0:
+            raise SeaInvalidParameters("frames_per_chunk/scale_factor_frames must be > 0")
+        if settings.frames_per_chunk % settings.scale_factor_frames != 0:
+            raise SeaInvalidParameters(
+                "scale_factor_frames must divide frames_per_chunk"
+            )
+        if not 1 <= settings.scale_factor_bits <= 8:
+            raise SeaInvalidParameters("scale_factor_bits must be 1..=8")
+        if not 1.0 <= settings.residual_bits <= 8.0:
+            raise SeaInvalidParameters("residual_bits must be in 1..=8")
+
+        self.settings = settings
+        self.reader = reader
+        self.writer = writer
+        self.header = SeaFileHeader(
+            version=1,
+            channels=channels,
+            chunk_size=0,  # discovered from the first chunk
+            frames_per_chunk=settings.frames_per_chunk,
+            sample_rate=sample_rate,
+            total_frames=total_frames if total_frames is not None else 0,
+            metadata=settings.metadata,
+        )
+        model_cls = VbrEncoderModel if settings.vbr else CbrEncoderModel
+        self.model = model_cls(
+            channels=channels,
+            scale_factor_bits=settings.scale_factor_bits,
+            scale_factor_frames=settings.scale_factor_frames,
+            residual_bits=settings.residual_bits,
+            frames_per_chunk=settings.frames_per_chunk,
+        )
+        self.state = _State.START
+        self.written_frames = 0
+        # Streaming mode (explicit total_frames == 0): header upfront.
+        if total_frames == 0:
+            self.writer.write(self.header.serialize())
+            self.state = _State.WRITING_FRAMES
+
+    def _read_samples(self, max_sample_count: int) -> np.ndarray:
+        buffer = read_max_or_zero(self.reader, max_sample_count * 2)
+        if not buffer:
+            return np.zeros(0, dtype=np.int16)
+        if len(buffer) % (2 * self.header.channels) != 0:
+            raise SeaReadError("ragged sample bytes (unexpected EOF)")
+        return np.frombuffer(buffer, dtype="<i2")
+
+    def _make_chunk(self, samples: np.ndarray) -> bytes:
+        # Snapshot LMS *before* encoding: the chunk header carries entry
+        # state (reference src/codec/file.rs:146-149).
+        hist, wts = self.model.lms_snapshot
+        encoded = self.model.encode(samples)
+        is_vbr = encoded.residual_bits.size > 0
+        frames = samples.shape[0] // self.header.channels
+        chunk = SeaChunk(
+            channels=self.header.channels,
+            frames_in_chunk=frames,
+            chunk_type=CHUNK_TYPE_VBR if is_vbr else CHUNK_TYPE_CBR,
+            scale_factor_bits=self.settings.scale_factor_bits,
+            scale_factor_frames=self.settings.scale_factor_frames,
+            residual_size=int(np.floor(self.settings.residual_bits)),
+            lms_history=hist,
+            lms_weights=wts,
+            scale_factors=encoded.scale_factors,
+            vbr_residual_sizes=encoded.residual_bits,
+            residuals=encoded.residuals,
+        )
+        out = chunk.serialize()
+        if self.header.chunk_size == 0:
+            self.header.chunk_size = len(out)
+        if frames == self.header.frames_per_chunk:
+            assert len(out) == self.header.chunk_size
+        return out
+
+    def encode_frame(self) -> bool:
+        """Encode one chunk; returns False once the input is exhausted."""
+        if self.state is _State.FINISHED:
+            raise SeaEncoderClosed("encoder already finished")
+
+        channels = self.header.channels
+        if self.header.total_frames > 0:
+            frames = min(
+                self.header.frames_per_chunk,
+                self.header.total_frames - self.written_frames,
+            )
+        else:
+            frames = self.header.frames_per_chunk
+
+        full_size_samples = self.header.frames_per_chunk * channels
+        samples = self._read_samples(frames * channels)
+        eof = samples.size == 0 or samples.size < full_size_samples
+
+        if samples.size:
+            encoded_chunk = self._make_chunk(samples)
+            if eof:
+                assert len(encoded_chunk) <= self.header.chunk_size
+            else:
+                assert len(encoded_chunk) == self.header.chunk_size
+            if self.state is _State.START:
+                self.writer.write(self.header.serialize())
+                self.state = _State.WRITING_FRAMES
+            self.writer.write(encoded_chunk)
+            self.written_frames += samples.size // channels
+
+        if eof:
+            self.state = _State.FINISHED
+        return not eof
+
+    def flush(self) -> None:
+        try:
+            self.writer.flush()
+        except (AttributeError, OSError):
+            pass
+
+    def finalize(self) -> None:
+        if hasattr(self.writer, "flush"):
+            self.writer.flush()
+        self.state = _State.FINISHED

@@ -1,0 +1,97 @@
+"""MSB-first bit packing/unpacking, vectorized in numpy (host side).
+
+Semantics match the reference bit packer/unpacker exactly
+(``src/codec/bits.rs``): values of 1..8 bits are concatenated MSB-first into
+a byte stream; the final partial byte is left-aligned (zero-padded on the
+right). Unpacking extracts as many whole items as the provided byte count
+allows (constant width) or exactly the provided per-item widths (variable
+width, used for VBR residuals), discarding trailing pad bits.
+
+Instead of the reference's streaming byte loop, both directions are
+formulated as rectangular bit-matrix shuffles (expand-to-bits -> gather ->
+fold), which is also the formulation the device-side JAX unpack kernels use
+(see ops/device_decode.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pack_bits(values: np.ndarray, widths: np.ndarray | int) -> np.ndarray:
+    """Pack ``values[i]`` into ``widths[i]`` bits, MSB-first. Returns uint8[].
+
+    ``widths`` may be a scalar (constant width) or a per-item array.
+    Matches BitPacker::push/finish (reference src/codec/bits.rs:104-134).
+    """
+    values = np.asarray(values, dtype=np.uint32)
+    n = values.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    if np.isscalar(widths) or np.ndim(widths) == 0:
+        widths = np.full(n, int(widths), dtype=np.int64)
+    else:
+        widths = np.asarray(widths, dtype=np.int64)
+        assert widths.shape[0] == n
+
+    # bit j (MSB-first) of item i sits at column (8 - w_i + j) of an 8-wide
+    # matrix; equivalently column k holds bit (w_i - 1 - (k - (8 - w_i))).
+    shifts = np.arange(7, -1, -1, dtype=np.uint32)  # col k -> shift 7-k
+    bits8 = (values[:, None] >> shifts[None, :]) & 1  # [n, 8], MSB-first of 8-bit view
+    # item i contributes its w_i lowest significance bits, i.e. columns
+    # (8 - w_i) .. 7 of bits8.
+    col = np.arange(8, dtype=np.int64)
+    valid = col[None, :] >= (8 - widths)[:, None]  # [n, 8]
+    flat_bits = bits8.reshape(-1)[valid.reshape(-1)]
+    return np.packbits(flat_bits.astype(np.uint8), bitorder="big")
+
+
+def unpack_bits(data: np.ndarray, widths: np.ndarray | int, count: int | None = None) -> np.ndarray:
+    """Unpack a MSB-first bitstream into items. Returns uint8[].
+
+    - Constant width (``widths`` scalar): extracts ``floor(len(data)*8 / w)``
+      items, or ``count`` if given (must not exceed that bound). Matches
+      BitUnpacker::new_const_bits/process_bytes_const (src/codec/bits.rs:12,34).
+    - Variable widths (array): extracts exactly ``len(widths)`` items; the
+      stream must contain at least ``sum(widths)`` bits. Matches
+      new_var_bits/process_bytes_variable (src/codec/bits.rs:22,52).
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    total_bits = data.shape[0] * 8
+    if np.isscalar(widths) or np.ndim(widths) == 0:
+        w = int(widths)
+        n = total_bits // w
+        if count is not None:
+            assert count <= n, (count, n)
+            n = count
+        widths = np.full(n, w, dtype=np.int64)
+    else:
+        widths = np.asarray(widths, dtype=np.int64)
+        n = widths.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(widths[:-1], out=offsets[1:])
+    assert offsets[-1] + widths[-1] <= total_bits
+
+    bits = np.unpackbits(data, bitorder="big").astype(np.uint32)
+    # item i = fold of bits[offsets[i] .. offsets[i]+w_i), MSB-first.
+    j = np.arange(8, dtype=np.int64)
+    idx = offsets[:, None] + j[None, :]  # [n, 8]
+    valid = j[None, :] < widths[:, None]
+    idx = np.where(valid, idx, 0)
+    gathered = bits[idx]  # [n, 8]
+    shift = np.where(valid, widths[:, None] - 1 - j[None, :], 0).astype(np.uint32)
+    vals = np.sum(np.where(valid, gathered << shift, 0), axis=1, dtype=np.uint32)
+    return vals.astype(np.uint8)
+
+
+def packed_byte_len(widths: np.ndarray | int, count: int | None = None) -> int:
+    """Number of bytes produced by packing ``count`` items of given widths."""
+    if np.isscalar(widths) or np.ndim(widths) == 0:
+        assert count is not None
+        total = int(widths) * count
+    else:
+        total = int(np.sum(np.asarray(widths, dtype=np.int64)))
+    return (total + 7) // 8

@@ -1,0 +1,153 @@
+"""The encoder's brute-force scale-factor search as a JAX kernel.
+
+Reference semantics (``src/codec/encoder_base.rs``): for every scale-factor
+window (``scale_factor_frames`` frames), try all 2^sfb candidate scale
+factors; for each, run the per-sample loop predict -> scale (fixed-point
+division) -> clamp -> quantize -> dequantize -> reconstruct -> LMS-update,
+accumulating a rank = sum of squared error + weight penalty; keep the
+candidate with the lowest rank, visiting candidates in rotated order starting
+from the previous window's winner (ties resolve to the first minimum in that
+order, ``encoder_base.rs:116-140``).
+
+TPU-native formulation:
+- the candidate loop is a vmapped batch axis (all 2^sfb candidates evolve
+  their own LMS copies simultaneously),
+- the per-sample loop is a ``lax.scan`` over the window,
+- windows chain through an outer ``lax.scan`` carrying (lms, prev_sf)
+  (the only cross-window state, ``encoder_base.rs:180-185``),
+- channels are a vectorized axis throughout,
+- the reference's early-abort (``encoder_base.rs:83-85``) is dropped: it
+  prunes work but never changes the argmin (a pruned candidate's rank already
+  exceeds the best), so computing all candidates fully is bit-identical.
+
+The reference's 64-bit fixed-point division ``sea_div``
+(``encoder_base.rs:22-26``) is rewritten in pure int32: with
+recip <= 2^16 split as rhi*2^8 + rlo and |v| < 2^19,
+floor((v*recip + 2^15) / 2^16) == ((v*rhi + ((v*rlo + 2^15) >> 8)) >> 8)
+exactly (nested floor-division identity); only the rank accumulation needs
+64-bit (uint64, matching Rust u64 wrap-around semantics).
+
+Residual size is data (int32 per window x channel), so the same compiled
+kernel serves CBR (constant), VBR pass 1 (target+1), and VBR pass 2
+(per-window sizes). Windows may be masked via ``n_valid`` (partial final
+window, or padding windows appended to keep shapes static): masked samples
+contribute nothing to ranks and freeze the LMS, matching the reference's
+shorter loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import lms
+
+
+def sea_div(v: jnp.ndarray, recip: jnp.ndarray) -> jnp.ndarray:
+    """Round-half-away fixed-point division by scale factor, pure int32.
+
+    Matches reference ``encoder_base.rs:22-26`` for |v| < 2^19, recip <= 2^16.
+    """
+    r_hi = recip >> 8
+    r_lo = recip & 0xFF
+    n = (v * r_hi + ((v * r_lo + 0x8000) >> 8)) >> 8
+    return n + (jnp.sign(v) - jnp.sign(n))
+
+
+@partial(jax.jit, static_argnames=("scale_factor_frames", "n_candidates"))
+def encode_windows(
+    samples: jnp.ndarray,  # int32[W * sff, C] de-interleaved, zero-padded
+    rs: jnp.ndarray,  # int32[W, C] residual size per window/channel (1..8)
+    n_valid: jnp.ndarray,  # int32[W] frames actually present in each window
+    hist0: jnp.ndarray,  # int32[C, 4]
+    wts0: jnp.ndarray,  # int32[C, 4]
+    prev_sf0: jnp.ndarray,  # int32[C]
+    dqt_flat: jnp.ndarray,  # int32[8 * n_sf * 256]
+    recip: jnp.ndarray,  # int32[8, n_sf]
+    qtab: jnp.ndarray,  # int32[1028] quantization table
+    qt_offsets: jnp.ndarray,  # int32[9]
+    scale_factor_frames: int,
+    n_candidates: int,  # 2^scale_factor_bits
+):
+    """Run the scale-factor search over all windows of one chunk.
+
+    Returns (sf uint8[W, C], codes uint8[W*sff, C], ranks uint64[W, C],
+    hist int32[C,4], wts int32[C,4], prev_sf int32[C]).
+    """
+    sff = scale_factor_frames
+    s = n_candidates
+    wc = rs.shape[0]
+    c = samples.shape[1]
+    n_sf = recip.shape[1]
+    samples_w = samples.reshape(wc, sff, c)
+
+    def window_body(carry, xs):
+        hist, wts, prev_sf = carry  # [C,4], [C,4], [C]
+        smp, rs_w, nv = xs  # [sff, C], [C], scalar
+
+        cand = jnp.arange(s, dtype=jnp.int32)  # [S]
+        sf_cand = (cand[:, None] + prev_sf[None, :]) % s  # [S, C]
+        rs_b = jnp.broadcast_to(rs_w[None, :], (s, c))  # [S, C]
+        recip_w = recip[rs_b - 1, sf_cand]  # [S, C]
+        climit = (1 << rs_w).astype(jnp.int32)  # [C]
+        qt_off = qt_offsets[rs_w] + climit  # [C]
+        dqt_base = ((rs_b - 1) * n_sf + sf_cand) * 256  # [S, C]
+
+        hh = jnp.broadcast_to(hist[None], (s, c, 4))
+        ww = jnp.broadcast_to(wts[None], (s, c, 4))
+        rank0 = jnp.zeros((s, c), dtype=jnp.uint64)
+
+        def sample_step(inner, xt):
+            hh, ww, rank = inner
+            sample, valid = xt  # [C] int32, scalar bool
+            sample_b = jnp.broadcast_to(sample[None, :], (s, c))
+            pred = lms.predict(hh, ww)  # [S, C]
+            residual = sample_b - pred
+            scaled = sea_div(residual, recip_w)
+            clamped = jnp.clip(scaled, -climit[None, :], climit[None, :])
+            q = jnp.take(qtab, qt_off[None, :] + clamped)  # [S, C] int32
+            dq = jnp.take(dqt_flat, dqt_base + q)
+            recon = lms.clamp_i16(pred + dq)
+            err = (sample_b - recon).astype(jnp.int64)
+            esq = (err * err).astype(jnp.uint64)
+            rank_inc = esq + lms.weights_penalty(ww)
+            rank = jnp.where(valid, rank + rank_inc, rank)
+            hh2, ww2 = lms.update(hh, ww, recon, dq)
+            hh = jnp.where(valid, hh2, hh)
+            ww = jnp.where(valid, ww2, ww)
+            return (hh, ww, rank), q.astype(jnp.uint8)
+
+        valid_t = jnp.arange(sff, dtype=jnp.int32) < nv
+        (hh, ww, ranks), qs = jax.lax.scan(
+            sample_step, (hh, ww, rank0), (smp, valid_t)
+        )
+        # First minimum in rotated candidate order wins (argmin is
+        # first-occurrence), matching the reference tie-break.
+        best = jnp.argmin(ranks, axis=0).astype(jnp.int32)  # [C]
+        best_sf = jnp.take_along_axis(sf_cand, best[None, :], axis=0)[0]  # [C]
+        best_rank = jnp.take_along_axis(ranks, best[None, :], axis=0)[0]
+        codes_w = jnp.take_along_axis(qs, best[None, None, :], axis=1)[:, 0, :]
+        new_hist = jnp.take_along_axis(hh, best[None, :, None], axis=0)[0]
+        new_wts = jnp.take_along_axis(ww, best[None, :, None], axis=0)[0]
+        # A fully-masked window (nv == 0) must leave all state untouched and
+        # never advance prev_sf; ranks are all zero there so best == 0 and
+        # sf_cand[0] == prev_sf, new state == old state: already a no-op.
+        return (new_hist, new_wts, best_sf), (
+            best_sf.astype(jnp.uint8),
+            codes_w,
+            best_rank,
+        )
+
+    (hist, wts, prev_sf), (sf_out, codes_out, ranks_out) = jax.lax.scan(
+        window_body, (hist0, wts0, prev_sf0), (samples_w, rs, n_valid)
+    )
+    return (
+        sf_out,  # [W, C] uint8
+        codes_out.reshape(wc * sff, c),  # [W*sff, C] uint8
+        ranks_out,  # [W, C] uint64
+        hist,
+        wts,
+        prev_sf,
+    )
