@@ -117,7 +117,12 @@ class VbrEncoderModel:
         sizes[indices[:m1]] = base - 1
         sizes[indices[sortable - p2 - p1 : sortable - p2]] = base + 1
         sizes[indices[sortable - p2 :]] = base + 2
-        return sizes
+        # Residual sizes are capped at 8 bits. The reference panics here when
+        # the distribution assigns base+2 = 9 (VBR at target 8.0,
+        # ``SeaResidualSize::from`` hits the invalid arm) and such sizes are
+        # not decodable in the format; clamping is a deliberate divergence
+        # that makes target 8.0 usable.
+        return np.minimum(sizes, 8)
 
     def encode(self, samples: np.ndarray) -> EncodedSamples:
         c = self.channels

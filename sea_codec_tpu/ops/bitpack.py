@@ -87,6 +87,44 @@ def unpack_bits(data: np.ndarray, widths: np.ndarray | int, count: int | None = 
     return vals.astype(np.uint8)
 
 
+def unpack_bits_rows(data: np.ndarray, widths: np.ndarray | int, count: int) -> np.ndarray:
+    """Unpack each row of ``data`` [N, B] into ``count`` items -> uint8[N, count].
+
+    ``widths`` is a scalar (same layout for every row) or [N, count] per-row
+    widths (VBR residuals: every chunk has its own window sizes). This is the
+    rectangular batch formulation used by the corpus decode pipeline: all full
+    chunks of a ``.sea`` file share identical section layouts, so one
+    unpackbits + one gather handles the whole batch.
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    n, b = data.shape
+    if count == 0:
+        return np.zeros((n, 0), dtype=np.uint8)
+    bits = np.unpackbits(data, axis=1, bitorder="big").astype(np.uint32)  # [N, B*8]
+    j = np.arange(8, dtype=np.int64)
+    if np.isscalar(widths) or np.ndim(widths) == 0:
+        w = int(widths)
+        offsets = np.arange(count, dtype=np.int64) * w  # [count]
+        idx = offsets[:, None] + j[None, :]  # [count, 8]
+        valid = j[None, :] < w
+        idx = np.where(valid, idx, 0)
+        gathered = bits[:, idx.reshape(-1)].reshape(n, count, 8)
+        shift = np.where(valid, w - 1 - j[None, :], 0).astype(np.uint32)
+        vals = np.sum(np.where(valid, gathered << shift, 0), axis=2, dtype=np.uint32)
+        return vals.astype(np.uint8)
+    widths = np.asarray(widths, dtype=np.int64)
+    assert widths.shape == (n, count)
+    offsets = np.zeros((n, count), dtype=np.int64)
+    np.cumsum(widths[:, :-1], axis=1, out=offsets[:, 1:])
+    idx = offsets[:, :, None] + j[None, None, :]  # [N, count, 8]
+    valid = j[None, None, :] < widths[:, :, None]
+    idx = np.where(valid, idx, 0)
+    gathered = np.take_along_axis(bits, idx.reshape(n, -1), axis=1).reshape(n, count, 8)
+    shift = np.where(valid, widths[:, :, None] - 1 - j[None, None, :], 0).astype(np.uint32)
+    vals = np.sum(np.where(valid, gathered << shift, 0), axis=2, dtype=np.uint32)
+    return vals.astype(np.uint8)
+
+
 def packed_byte_len(widths: np.ndarray | int, count: int | None = None) -> int:
     """Number of bytes produced by packing ``count`` items of given widths."""
     if np.isscalar(widths) or np.ndim(widths) == 0:

@@ -23,12 +23,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import lms
 
 
-@partial(jax.jit, static_argnames=("scale_factor_frames",))
-def decode_chunks(
+def decode_chunks_fn(
     codes: jnp.ndarray,  # uint8[N, F, C] quantized residual codes
     sf_codes: jnp.ndarray,  # uint8[N, W, C] scale factors per window
     rs: jnp.ndarray,  # uint8[N, W, C] residual sizes per window (1..8)
@@ -64,3 +64,91 @@ def decode_chunks(
     dq_scan = jnp.moveaxis(dq, 1, 0)  # [F, N, C]
     (_, _), recon = jax.lax.scan(step, (hist0, wts0), dq_scan)
     return jnp.moveaxis(recon, 0, 1)  # [N, F, C]
+
+
+decode_chunks = jax.jit(decode_chunks_fn, static_argnames=("scale_factor_frames",))
+
+
+def _bytes_to_bits(data: jnp.ndarray) -> jnp.ndarray:
+    """uint8[N, B] -> uint8[N, B*8] MSB-first bit expansion (VPU-friendly)."""
+    n, b = data.shape
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (data[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(n, b * 8)
+
+
+def unpack_const_device(data: jnp.ndarray, width: int, count: int) -> jnp.ndarray:
+    """Constant-width MSB-first unpack on device -> uint8[N, count].
+
+    The gather indices are static (layout identical for every row), so this
+    lowers to one bit-expansion plus one static gather -- the device-side
+    replacement for the reference's streaming byte loop (bits.rs:34-50).
+    """
+    bits = _bytes_to_bits(data)
+    offsets = np.arange(count, dtype=np.int32) * width
+    j = np.arange(width, dtype=np.int32)
+    idx = (offsets[:, None] + j[None, :]).reshape(-1)
+    gathered = jnp.take(bits, jnp.asarray(idx), axis=1).reshape(-1, count, width)
+    weights = jnp.asarray((1 << (width - 1 - j)).astype(np.uint8))
+    return jnp.sum(gathered * weights[None, None, :], axis=2, dtype=jnp.uint8)
+
+
+def unpack_var_device(data: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
+    """Per-item-width MSB-first unpack on device.
+
+    ``widths``: int32[N, count] (each row its own layout -- VBR residuals).
+    Bit offsets come from a per-row cumsum; the gather is dynamic
+    (take_along_axis). Replaces bits.rs:52-70.
+    """
+    n, count = widths.shape
+    bits = _bytes_to_bits(data)
+    offsets = jnp.cumsum(widths, axis=1, dtype=jnp.int32) - widths
+    j = jnp.arange(8, dtype=jnp.int32)
+    idx = offsets[:, :, None] + j[None, None, :]
+    valid = j[None, None, :] < widths[:, :, None]
+    idx = jnp.where(valid, idx, 0)
+    gathered = jnp.take_along_axis(bits, idx.reshape(n, -1), axis=1).reshape(n, count, 8)
+    shift = jnp.where(valid, widths[:, :, None] - 1 - j[None, None, :], 0).astype(jnp.uint8)
+    vals = jnp.where(valid, gathered << shift, jnp.uint8(0))
+    return jnp.sum(vals, axis=2, dtype=jnp.uint8)
+
+
+def decode_chunks_packed_fn(
+    res_bytes: jnp.ndarray,  # uint8[N, B] packed residual section
+    sf_codes: jnp.ndarray,  # uint8[N, W, C]
+    rs: jnp.ndarray,  # uint8[N, W, C]
+    hist0: jnp.ndarray,
+    wts0: jnp.ndarray,
+    dqt_flat: jnp.ndarray,
+    scale_factor_frames: int,
+    frames: int,
+    residual_size: int,  # static: >0 = CBR constant width; 0 = VBR (widths from rs)
+) -> jnp.ndarray:
+    """Full device decode from packed residual bytes -> int16[N, frames, C]."""
+    n, w, c = sf_codes.shape
+    count = frames * c
+    if residual_size:
+        codes = unpack_const_device(res_bytes, residual_size, count)
+    else:
+        widths = jnp.repeat(
+            rs.astype(jnp.int32),
+            scale_factor_frames,
+            axis=1,
+            total_repeat_length=w * scale_factor_frames,
+        )[:, :frames].reshape(n, count)
+        codes = unpack_var_device(res_bytes, widths)
+    return decode_chunks_fn(
+        codes.reshape(n, frames, c),
+        sf_codes,
+        rs,
+        hist0,
+        wts0,
+        dqt_flat,
+        scale_factor_frames=scale_factor_frames,
+    )
+
+
+decode_chunks_packed = jax.jit(
+    decode_chunks_packed_fn,
+    static_argnames=("scale_factor_frames", "frames", "residual_size"),
+)

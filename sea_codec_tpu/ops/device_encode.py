@@ -56,8 +56,7 @@ def sea_div(v: jnp.ndarray, recip: jnp.ndarray) -> jnp.ndarray:
     return n + (jnp.sign(v) - jnp.sign(n))
 
 
-@partial(jax.jit, static_argnames=("scale_factor_frames", "n_candidates"))
-def encode_windows(
+def encode_windows_fn(
     samples: jnp.ndarray,  # int32[W * sff, C] de-interleaved, zero-padded
     rs: jnp.ndarray,  # int32[W, C] residual size per window/channel (1..8)
     n_valid: jnp.ndarray,  # int32[W] frames actually present in each window
@@ -151,3 +150,8 @@ def encode_windows(
         wts,
         prev_sf,
     )
+
+
+encode_windows = jax.jit(
+    encode_windows_fn, static_argnames=("scale_factor_frames", "n_candidates")
+)

@@ -6,9 +6,22 @@ Must set the environment before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Default: CPU with 8 virtual devices (fast compiles, multi-device sharding
+# tests). Set SEA_TEST_PLATFORM=axon to run the same suite on a real TPU --
+# the integer kernels are bit-exact on both backends and the full round-trip
+# suite has been validated on TPU hardware.
+#
+# Note: the environment may pre-register a TPU PJRT plugin at interpreter
+# startup (sitecustomize) and select it programmatically, which overrides the
+# JAX_PLATFORMS env var -- so the platform must be forced via jax.config.
+_platform = os.environ.get("SEA_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,38 @@
+"""Batch (rectangular) decode must be bit-identical to the session decoder."""
+
+import numpy as np
+import pytest
+
+from sea_codec_tpu import EncoderSettings, sea_decode, sea_encode
+from sea_codec_tpu.batch import decode_sea
+from sea_codec_tpu.utils.signal import TEST_SAMPLE_RATE, gen_test_signal
+
+
+@pytest.mark.parametrize("vbr", [False, True])
+@pytest.mark.parametrize("channels", [1, 2, 3])
+@pytest.mark.parametrize("frames", [999, 1000, 5000, 12345])
+def test_batch_matches_session(vbr, channels, frames):
+    samples = gen_test_signal(channels, frames)
+    n = samples.shape[0] // channels
+    samples = samples[: n * channels]
+    settings = EncoderSettings(
+        frames_per_chunk=1000, residual_bits=2.5 if vbr else 3.0, vbr=vbr
+    )
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings)
+
+    session = sea_decode(encoded)
+    batched = decode_sea(encoded, device_batch=4)
+    np.testing.assert_array_equal(np.asarray(batched.samples), np.asarray(session.samples))
+    assert batched.sample_rate == session.sample_rate
+    assert batched.channels == session.channels
+
+
+def test_batch_full_size_ragged_final_chunk():
+    """A final chunk one frame short can still serialize to chunk_size bytes
+    (rs=1, mono): the batch parser must trim it via frames_real."""
+    samples = gen_test_signal(1, 5120 * 2 - 1)[: 5120 * 2 - 1]
+    settings = EncoderSettings(residual_bits=1.0)
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, 1, settings)
+    session = sea_decode(encoded)
+    batched = decode_sea(encoded)
+    np.testing.assert_array_equal(np.asarray(batched.samples), np.asarray(session.samples))

@@ -1,0 +1,101 @@
+"""CLI tests: flag surface, validation, wav<->sea conversion."""
+
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+from sea_codec_tpu.utils.signal import TEST_SAMPLE_RATE, audio_quality, gen_test_signal
+from sea_codec_tpu.utils.wav import read_wav, write_wav
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "sea_codec_tpu", *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+    )
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli") / "in.wav"
+    samples = gen_test_signal(2, 30000)
+    write_wav(samples, 2, TEST_SAMPLE_RATE, str(path))
+    return str(path), samples
+
+
+def test_wav_roundtrip_io(tmp_path):
+    samples = gen_test_signal(2, 1000)
+    p = tmp_path / "x.wav"
+    write_wav(samples, 2, 48000, str(p))
+    wave = read_wav(str(p))
+    assert wave.channels == 2 and wave.sample_rate == 48000
+    np.testing.assert_array_equal(wave.samples, samples)
+
+
+def test_cli_encode_decode(wav_file, tmp_path):
+    wav_in, samples = wav_file
+    sea = str(tmp_path / "out.sea")
+    wav_out = str(tmp_path / "out.wav")
+    r = run_cli(wav_in, sea, "-b", "3")
+    assert r.returncode == 0, r.stderr
+    r = run_cli(sea, wav_out)
+    assert r.returncode == 0, r.stderr
+    decoded = read_wav(wav_out)
+    assert decoded.samples.shape == samples.shape
+    _, psnr = audio_quality(samples, decoded.samples)
+    assert psnr < -20.0
+
+
+def test_cli_vbr(wav_file, tmp_path):
+    wav_in, samples = wav_file
+    sea = str(tmp_path / "out.sea")
+    r = run_cli(wav_in, sea, "-b", "2.5", "-v")
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(sea) < samples.nbytes / 5
+
+
+@pytest.mark.parametrize(
+    "args,msg",
+    [
+        (["-c", "100"], "Chunk size must be between 200 and 32000"),
+        (["-c", "64000"], "Chunk size must be between 200 and 32000"),
+        (["-s", "2"], "Scale factor bits must be between 3 and 5"),
+        (["-s", "6"], "Scale factor bits must be between 3 and 5"),
+        (["-d", "13"], "Scale factor frames must be a divisor of chunk size"),
+        (["-b", "9"], "Bitrate must be between 1.0 and 8.0"),
+        (["-b", "2.5"], "Without VBR, bitrate must be an integer between 1 and 8"),
+        (["-b", "1.2", "-v"], "With VBR, bitrate must be between 1.5 and 8.0"),
+        (["-b", "x"], "Failed to parse residual bits"),
+    ],
+)
+def test_cli_validation(wav_file, tmp_path, args, msg):
+    wav_in, _ = wav_file
+    r = run_cli(wav_in, str(tmp_path / "o.sea"), *args)
+    assert r.returncode == 1
+    assert msg in r.stderr
+
+
+def test_cli_bad_extensions(tmp_path):
+    r = run_cli("a.mp3", "b.ogg")
+    assert r.returncode == 1
+    assert "Invalid file extensions" in r.stderr
+
+
+def test_cli_metadata(wav_file, tmp_path):
+    wav_in, _ = wav_file
+    sea = str(tmp_path / "m.sea")
+    r = run_cli(wav_in, sea, "--metadata", "artist=x", "--metadata", "title=y")
+    assert r.returncode == 0, r.stderr
+    from sea_codec_tpu.container import SeaFileHeader
+    with open(sea, "rb") as f:
+        header = SeaFileHeader.from_reader(f)
+    assert header.metadata == "artist=x\ntitle=y\n"

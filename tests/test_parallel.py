@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from sea_codec_tpu import EncoderSettings, sea_decode, sea_encode
+from sea_codec_tpu.batch import parse_file
+from sea_codec_tpu.parallel.pipeline import (
+    corpus_transcode_step,
+    decode_chunk_batch_sharded,
+    make_mesh,
+)
+from sea_codec_tpu.utils.signal import TEST_SAMPLE_RATE, gen_test_signal
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_sharded_decode_equals_single_device():
+    """Chunk-parallel decode over the mesh == sequential session decode."""
+    channels = 2
+    settings = EncoderSettings(frames_per_chunk=1000)
+    samples = gen_test_signal(channels, 16000)
+    frames = samples.shape[0] // channels
+    samples = samples[: frames * channels]
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings)
+    expected = np.asarray(sea_decode(encoded).samples)
+
+    header, parsed, frames_real = parse_file(encoded)
+    codes, sf, rs, hist, wts, sfb = parsed
+    n = codes.shape[0]
+    # pad the chunk batch to a multiple of the mesh size
+    mesh = make_mesh(8)
+    total = mesh.devices.size
+    pad = (-n) % total
+    codes, sf, rs, hist, wts = (
+        np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+        for a in (codes, sf, rs, hist, wts)
+    )
+    pcm = decode_chunk_batch_sharded(mesh, codes, sf, rs, hist, wts, sfb, 20)
+    pcm = np.asarray(pcm)[:n]
+    got = np.concatenate([pcm[i, : frames_real[i]].reshape(-1) for i in range(n)])
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_corpus_transcode_step_runs_and_matches_api():
+    """The fused multi-device encode+decode equals the host API round trip."""
+    mesh = make_mesh(8)
+    sff, fpc, nc, c = 5, 10, 4, 2
+    nf = 4
+    rng = np.random.default_rng(3)
+    samples = (rng.standard_normal((nf, nc, fpc, c)) * 2000).astype(np.int32)
+
+    pcm, _codes = corpus_transcode_step(
+        mesh, samples, residual_size=3, scale_factor_bits=4, scale_factor_frames=sff
+    )
+    pcm = np.asarray(pcm)
+
+    settings = EncoderSettings(
+        frames_per_chunk=fpc, scale_factor_frames=sff, residual_bits=3.0
+    )
+    for f in range(nf):
+        flat = samples[f].reshape(-1, c).astype(np.int16).reshape(-1)
+        expected = np.asarray(
+            sea_decode(sea_encode(flat, TEST_SAMPLE_RATE, c, settings)).samples
+        )
+        np.testing.assert_array_equal(pcm[f].reshape(-1), expected)
+
+
+def test_dryrun_multichip():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
