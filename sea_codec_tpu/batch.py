@@ -32,7 +32,7 @@ from .container import (
 )
 from .models.decoder import DecoderModel
 from .ops import bitpack, tables
-from .ops.device_decode import decode_chunks_packed
+from .ops.device_decode import decode_chunks_packed, default_use_pallas
 from .utils.errors import SeaInvalidFrame
 
 
@@ -152,23 +152,33 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
             frames_real = np.minimum(
                 frames_real, total_frames - np.arange(n, dtype=np.int64) * fpc
             )
+        # dispatch all device batches first (async), then fetch
+        outs = []
         for start in range(0, n, device_batch):
             end = min(start + device_batch, n)
-            pcm = decode_chunks_packed(
-                jnp.asarray(batch.res_bytes[start:end]),
-                jnp.asarray(batch.sf[start:end]),
-                jnp.asarray(batch.rs[start:end]),
-                jnp.asarray(batch.hist[start:end]),
-                jnp.asarray(batch.wts[start:end]),
-                dqt_flat,
-                scale_factor_frames=batch.scale_factor_frames,
-                frames=fpc,
-                residual_size=batch.residual_size,
+            outs.append(
+                decode_chunks_packed(
+                    jnp.asarray(batch.res_bytes[start:end]),
+                    jnp.asarray(batch.sf[start:end]),
+                    jnp.asarray(batch.rs[start:end]),
+                    jnp.asarray(batch.hist[start:end]),
+                    jnp.asarray(batch.wts[start:end]),
+                    dqt_flat,
+                    scale_factor_frames=batch.scale_factor_frames,
+                    frames=fpc,
+                    residual_size=batch.residual_size,
+                    use_pallas=default_use_pallas(),
+                )
             )
-            pcm = np.asarray(pcm)  # [B, fpc, C]
-            for i in range(start, end):
-                f = frames_real[i]
-                parts.append(pcm[i - start, :f].reshape(-1))
+        for k, out in enumerate(outs):
+            pcm = np.asarray(out)  # [B, fpc, C]
+            start = k * device_batch
+            end = start + pcm.shape[0]
+            if frames_real[end - 1] == fpc:  # fast path: all chunks full
+                parts.append(pcm.reshape(-1))
+            else:
+                parts.append(pcm[:-1].reshape(-1))
+                parts.append(pcm[-1, : frames_real[end - 1]].reshape(-1))
 
     if tail:
         n_full = rect.shape[0] if rect is not None else 0
@@ -183,6 +193,88 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
     return SeaDecodeInfo(
         samples=samples, sample_rate=header.sample_rate, channels=header.channels
     )
+
+
+def decode_corpus(files: list[bytes], device_batch: int = 1024) -> list[SeaDecodeInfo]:
+    """Decode many .sea files with host-parse / device-compute overlap.
+
+    JAX dispatch is asynchronous: all device batches are enqueued while the
+    host is still parsing later files, and results are fetched afterwards --
+    a software-pipelined corpus decode (the BASELINE "1,000-file corpus"
+    configuration). Per-file outputs are bit-identical to ``decode_sea``.
+    """
+    staged = []  # (header, pending device arrays, frames_real, tail_part)
+    dqt_cache: dict[int, jnp.ndarray] = {}
+    for encoded in files:
+        header, rect, tail = split_chunks(encoded)
+        fpc = header.frames_per_chunk
+        outs = []
+        frames_real = None
+        if rect is not None:
+            batch = parse_full_chunks(rect, header)
+            sfb = batch.scale_factor_bits
+            if sfb not in dqt_cache:
+                dqt_cache[sfb] = jnp.asarray(
+                    tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32
+                )
+            n = rect.shape[0]
+            frames_real = np.full(n, fpc, dtype=np.int64)
+            if header.total_frames > 0:
+                frames_real = np.minimum(
+                    frames_real,
+                    header.total_frames - np.arange(n, dtype=np.int64) * fpc,
+                )
+            for start in range(0, n, device_batch):
+                end = min(start + device_batch, n)
+                outs.append(
+                    decode_chunks_packed(
+                        jnp.asarray(batch.res_bytes[start:end]),
+                        jnp.asarray(batch.sf[start:end]),
+                        jnp.asarray(batch.rs[start:end]),
+                        jnp.asarray(batch.hist[start:end]),
+                        jnp.asarray(batch.wts[start:end]),
+                        dqt_cache[sfb],
+                        scale_factor_frames=batch.scale_factor_frames,
+                        frames=fpc,
+                        residual_size=batch.residual_size,
+                        use_pallas=default_use_pallas(),
+                    )
+                )
+        tail_part = None
+        if tail:
+            n_full = rect.shape[0] if rect is not None else 0
+            remaining = (
+                header.total_frames - n_full * fpc if header.total_frames > 0 else None
+            )
+            chunk = SeaChunk.from_bytes(tail, header, remaining)
+            model = DecoderModel(header.channels, chunk.scale_factor_bits)
+            tail_part = model.decode_chunk(chunk)
+        staged.append((header, outs, frames_real, tail_part, fpc))
+
+    results = []
+    for header, outs, frames_real, tail_part, fpc in staged:
+        parts = []
+        done = 0
+        for out in outs:
+            pcm = np.asarray(out)
+            end = done + pcm.shape[0]
+            if frames_real[end - 1] == fpc:
+                parts.append(pcm.reshape(-1))
+            else:
+                parts.append(pcm[:-1].reshape(-1))
+                parts.append(pcm[-1, : frames_real[end - 1]].reshape(-1))
+            done = end
+        if tail_part is not None:
+            parts.append(tail_part)
+        samples = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
+        results.append(
+            SeaDecodeInfo(
+                samples=samples,
+                sample_rate=header.sample_rate,
+                channels=header.channels,
+            )
+        )
+    return results
 
 
 # Backwards-compatible helper used by the parallel tests: parsed arrays with

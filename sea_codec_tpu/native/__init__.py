@@ -1,0 +1,15 @@
+from .binding import (
+    available,
+    native_decode,
+    native_dump_dqt,
+    native_dump_reciprocals,
+    native_encode,
+)
+
+__all__ = [
+    "available",
+    "native_encode",
+    "native_decode",
+    "native_dump_dqt",
+    "native_dump_reciprocals",
+]

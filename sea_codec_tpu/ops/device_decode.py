@@ -36,6 +36,8 @@ def decode_chunks_fn(
     wts0: jnp.ndarray,  # int32[N, C, 4] chunk-entry LMS weights
     dqt_flat: jnp.ndarray,  # int32[8 * n_sf * 256] stacked dequant table
     scale_factor_frames: int,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Decode a batch of chunks -> int16[N, F, C]."""
     n, f, c = codes.shape
@@ -54,6 +56,11 @@ def decode_chunks_fn(
     ) * 256 + codes.astype(jnp.int32)
     dq = jnp.take(dqt_flat, idx)
 
+    if use_pallas:
+        from .pallas_decode import decode_scan_pallas
+
+        return decode_scan_pallas(dq, hist0, wts0, interpret=pallas_interpret)
+
     def step(carry, dq_t):
         hist, wts = carry
         pred = lms.predict(hist, wts)  # [N, C]
@@ -66,7 +73,10 @@ def decode_chunks_fn(
     return jnp.moveaxis(recon, 0, 1)  # [N, F, C]
 
 
-decode_chunks = jax.jit(decode_chunks_fn, static_argnames=("scale_factor_frames",))
+decode_chunks = jax.jit(
+    decode_chunks_fn,
+    static_argnames=("scale_factor_frames", "use_pallas", "pallas_interpret"),
+)
 
 
 def _bytes_to_bits(data: jnp.ndarray) -> jnp.ndarray:
@@ -123,6 +133,8 @@ def decode_chunks_packed_fn(
     scale_factor_frames: int,
     frames: int,
     residual_size: int,  # static: >0 = CBR constant width; 0 = VBR (widths from rs)
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Full device decode from packed residual bytes -> int16[N, frames, C]."""
     n, w, c = sf_codes.shape
@@ -145,10 +157,28 @@ def decode_chunks_packed_fn(
         wts0,
         dqt_flat,
         scale_factor_frames=scale_factor_frames,
+        use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret,
     )
 
 
 decode_chunks_packed = jax.jit(
     decode_chunks_packed_fn,
-    static_argnames=("scale_factor_frames", "frames", "residual_size"),
+    static_argnames=(
+        "scale_factor_frames",
+        "frames",
+        "residual_size",
+        "use_pallas",
+        "pallas_interpret",
+    ),
 )
+
+
+def default_use_pallas() -> bool:
+    """Pallas kernels run on real TPU backends only (XLA scan elsewhere)."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

@@ -1,0 +1,168 @@
+"""Pallas TPU kernel for the LMS decode recurrence.
+
+The decode hot loop (reference ``src/codec/decoder.rs:36-45``) is a strict
+per-sample recurrence with O(1) state: 4 history + 4 weight int32 words per
+(chunk, channel) lane. The XLA ``lax.scan`` version pays per-step loop
+overhead that dwarfs the ~25 VPU ops of real work; this kernel instead:
+
+- maps lanes (chunks x channels, padded to a multiple of 1024) onto the VPU
+  as [8, 128] int32 tiles,
+- keeps the 8 state planes in registers through an unrolled ``fori_loop``
+  over the time block (the history shift becomes pure register renaming in
+  the loop carry),
+- streams the pre-gathered dequantized values through VMEM in [TB, 8, 128]
+  blocks along a sequential time grid dimension, with the state parked in
+  VMEM scratch between time blocks,
+- parallelizes the lane-block grid dimension (megacore).
+
+Inputs/outputs are time-major [T, R, 128]; the caller handles the
+[N, F, C] <-> lane-major transposes and padding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_BLOCK = 8 * 128  # lanes per grid step: one [8, 128] int32 tile
+
+
+def _decode_kernel(lms_ref, dq_ref, out_ref, h_scratch, w_scratch):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = lms_ref[0:4]
+        w_scratch[:] = lms_ref[4:8]
+
+    tb = dq_ref.shape[0]
+
+    i16_min = jnp.int32(-32768)
+    i16_max = jnp.int32(32767)
+    thirteen = jnp.int32(13)
+    four = jnp.int32(4)
+
+    def body(s, carry):
+        h0, h1, h2, h3, w0, w1, w2, w3 = carry
+        dq = dq_ref[s]
+        pred = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> thirteen
+        recon = jnp.minimum(jnp.maximum(pred + dq, i16_min), i16_max)
+        out_ref[s] = recon
+        delta = dq >> four
+        w0 = w0 + jnp.where(h0 < 0, -delta, delta)
+        w1 = w1 + jnp.where(h1 < 0, -delta, delta)
+        w2 = w2 + jnp.where(h2 < 0, -delta, delta)
+        w3 = w3 + jnp.where(h3 < 0, -delta, delta)
+        # history shift-append is pure register renaming in the carry
+        return (h1, h2, h3, recon, w0, w1, w2, w3)
+
+    carry0 = (
+        h_scratch[0],
+        h_scratch[1],
+        h_scratch[2],
+        h_scratch[3],
+        w_scratch[0],
+        w_scratch[1],
+        w_scratch[2],
+        w_scratch[3],
+    )
+    # int32 bounds: with jax_enable_x64 a plain Python int would make the
+    # loop index i64, which Mosaic cannot legalize.
+    carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(tb), body, carry0)
+    for i in range(4):
+        h_scratch[i] = carry[i]
+        w_scratch[i] = carry[4 + i]
+
+
+@partial(jax.jit, static_argnames=("time_block",))
+def lms_decode_lanes(
+    dq: jnp.ndarray,  # int32[T, R, 128], T % time_block == 0, R % 8 == 0
+    lms: jnp.ndarray,  # int32[8, R, 128]: planes h0..h3, w0..w3
+    time_block: int = 512,
+) -> jnp.ndarray:  # int32[T, R, 128] reconstructed samples
+    t, r, _ = dq.shape
+    assert t % time_block == 0 and r % 8 == 0
+    grid = (r // 8, t // time_block)
+    return pl.pallas_call(
+        _decode_kernel,
+        out_shape=jax.ShapeDtypeStruct((t, r, 128), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, 8, 128), lambda l, tt: (l * 0, l, l * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (time_block, 8, 128), lambda l, tt: (tt, l, tt * 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (time_block, 8, 128), lambda l, tt: (tt, l, tt * 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, 8, 128), jnp.int32),
+            pltpu.VMEM((4, 8, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(lms, dq)
+
+
+def decode_scan_pallas(
+    dq: jnp.ndarray,  # int32[N, F, C] pre-gathered dequantized values
+    hist0: jnp.ndarray,  # int32[N, C, 4]
+    wts0: jnp.ndarray,  # int32[N, C, 4]
+    interpret: bool = False,
+) -> jnp.ndarray:  # int16[N, F, C]
+    """Lane-major wrapper: pad/transpose, run the kernel, un-pad."""
+    n, f, c = dq.shape
+    b = n * c
+    b_pad = -(-b // LANE_BLOCK) * LANE_BLOCK
+    tb = 512 if f % 512 == 0 else 256 if f % 256 == 0 else 128 if f % 128 == 0 else 0
+    if tb == 0:
+        f_pad = -(-f // 128) * 128
+        tb = 128
+    else:
+        f_pad = f
+
+    dq_l = jnp.zeros((f_pad, b_pad), dtype=jnp.int32)
+    dq_l = dq_l.at[:f, :b].set(dq.reshape(n, f, c).transpose(1, 0, 2).reshape(f, b))
+    lms_l = jnp.zeros((8, b_pad), dtype=jnp.int32)
+    state = jnp.concatenate([hist0, wts0], axis=-1)  # [N, C, 8]
+    lms_l = lms_l.at[:, :b].set(state.reshape(b, 8).T)
+
+    r = b_pad // 128
+    fn = lms_decode_lanes
+    if interpret:
+        fn = partial(_lms_decode_lanes_interpret, time_block=tb)
+        out = fn(dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128))
+    else:
+        out = fn(
+            dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128), time_block=tb
+        )
+    out = out.reshape(f_pad, b_pad)[:f, :b]
+    return out.reshape(f, n, c).transpose(1, 0, 2).astype(jnp.int16)
+
+
+def _lms_decode_lanes_interpret(dq, lms, time_block):
+    """Interpreter-mode variant for CPU tests."""
+    t, r, _ = dq.shape
+    grid = (r // 8, t // time_block)
+    return pl.pallas_call(
+        _decode_kernel,
+        out_shape=jax.ShapeDtypeStruct((t, r, 128), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, 8, 128), lambda l, tt: (l * 0, l, l * 0)),
+            pl.BlockSpec((time_block, 8, 128), lambda l, tt: (tt, l, tt * 0)),
+        ],
+        out_specs=pl.BlockSpec((time_block, 8, 128), lambda l, tt: (tt, l, tt * 0)),
+        scratch_shapes=[
+            pltpu.VMEM((4, 8, 128), jnp.int32),
+            pltpu.VMEM((4, 8, 128), jnp.int32),
+        ],
+        interpret=True,
+    )(lms, dq)

@@ -1,0 +1,405 @@
+"""Pallas TPU kernel for the encoder's scale-factor search.
+
+The encoder hot loop (reference ``encoder_base.rs:43-144``) evaluates all
+2^sfb candidate scale factors over each window of ``scale_factor_frames``
+samples, each candidate running the predict/quantize/reconstruct/LMS-update
+recurrence and accumulating a 64-bit rank. The XLA formulation pays crushing
+per-step overhead (tiny [S, C] tensors, emulated uint64, per-step gathers).
+This kernel redesigns the compute for the VPU:
+
+- **Layout**: candidates on the sublane axis (S = 2^sfb rows), file-channel
+  lanes on the 128-lane axis. All state lives in [S, L] int32 registers.
+- **Fixed candidate order**: lane s *is* scale factor s. The reference's
+  rotated search order (``encoder_base.rs:116-117``) only matters for
+  tie-breaking, reproduced exactly by a lexicographic argmin over
+  (rank_hi, rank_lo, (s - prev_sf) mod S).
+- **No gathers**: the zig-zag quantization table has a closed form (derived
+  from ``qt.rs:8-31``, incl. the rs=2 special cases); dequantization is
+  recomputed in f32 exactly as the table generation does
+  (``dqt.rs:75-126``: curve(k) = 0.5+k*floor(step) with endpoint overrides,
+  round-half-away via floor(x+0.5)); per-(rs, sf) constants (scale factor
+  value, fixed-point reciprocal) are precomputed host-side and streamed per
+  window.
+- **Exact 64-bit ranks without int64**: Mosaic has no i64, so the rank, the
+  squared error, and the weight penalty (``lms.rs:53-62``) are computed as
+  (hi, lo) int32 pairs with explicit carries; unsigned compare/shift via
+  sign-bit tricks. Bit-identical to the reference's u64 arithmetic,
+  including wrap-around.
+- The fixed-point division ``sea_div`` uses the same pure-int32
+  decomposition as ops.device_encode.sea_div.
+
+Grid: one sequential step per window; LMS/prev_sf state persists in VMEM
+scratch across windows (the only cross-window state,
+``encoder_base.rs:180-185``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import tables
+
+I32_SIGN = np.int32(-2147483648)  # 0x80000000
+
+
+def _shr(x, n):
+    """Logical (unsigned) right shift on int32 bit patterns."""
+    return jax.lax.shift_right_logical(x, jnp.int32(n))
+
+
+def _ult(a, b):
+    """Unsigned a < b on int32 bit patterns."""
+    return (a ^ I32_SIGN) < (b ^ I32_SIGN)
+
+
+def _pair_add(h1, l1, h2, l2):
+    lo = l1 + l2
+    carry = _ult(lo, l1).astype(jnp.int32)
+    return h1 + h2 + carry, lo
+
+
+def _sq64(w):
+    """(hi, lo) int32-pair of w*w for arbitrary int32 w (exact u64)."""
+    aw = jnp.abs(w)  # -2^31 wraps to itself; bit pattern is the magnitude
+    w1 = _shr(aw, 16)
+    w0 = aw & jnp.int32(0xFFFF)
+    mm2 = (w1 * w0) << jnp.int32(1)
+    t0 = w0 * w0
+    t1 = (mm2 & jnp.int32(0xFFFF)) << jnp.int32(16)
+    lo = t0 + t1
+    c = _ult(lo, t0).astype(jnp.int32)
+    hi = w1 * w1 + _shr(mm2, 16) + c
+    return hi, lo
+
+
+def _weights_penalty_pair(w0, w1, w2, w3):
+    """Exact u64 penalty (reference lms.rs:53-62) as an int32 pair."""
+    s_hi, s_lo = _sq64(w0)
+    for w in (w1, w2, w3):
+        h, l = _sq64(w)
+        s_hi, s_lo = _pair_add(s_hi, s_lo, h, l)
+    # s >>= 18 (u64 logical shift as a pair)
+    sh_hi = _shr(s_hi, 18)
+    sh_lo = (s_hi << jnp.int32(14)) | _shr(s_lo, 18)
+    # t = max(s - 0x8ff, 0)
+    kconst = jnp.int32(0x8FF)
+    borrow = _ult(sh_lo, kconst)
+    t_lo = sh_lo - kconst
+    t_hi = sh_hi - borrow.astype(jnp.int32)
+    neg = (sh_hi == 0) & borrow
+    zero = jnp.int32(0)
+    t_lo = jnp.where(neg, zero, t_lo)
+    t_hi = jnp.where(neg, zero, t_hi)
+    # p = t^2 mod 2^64
+    a = _shr(t_lo, 16)
+    b = t_lo & jnp.int32(0xFFFF)
+    ab = a * b
+    p0 = b * b
+    p1 = ab << jnp.int32(17)
+    lo = p0 + p1
+    c = _ult(lo, p0).astype(jnp.int32)
+    hi = a * a + _shr(ab, 15) + c + ((t_hi * t_lo) << jnp.int32(1))
+    return hi, lo
+
+
+def _err_sq_pair(err):
+    """(hi, lo) of err^2 for |err| < 2^18 (always true: |residual| < 2^19)."""
+    ae = jnp.abs(err)
+    e1 = _shr(ae, 16)  # <= 3
+    e0 = ae & jnp.int32(0xFFFF)
+    mm2 = (e1 * e0) << jnp.int32(1)
+    t0 = e0 * e0
+    t1 = (mm2 & jnp.int32(0xFFFF)) << jnp.int32(16)
+    lo = t0 + t1
+    c = _ult(lo, t0).astype(jnp.int32)
+    hi = e1 * e1 + _shr(mm2, 16) + c
+    return hi, lo
+
+
+def _sea_div(v, recip):
+    """Pure-int32 sea_div (see ops.device_encode.sea_div)."""
+    r_hi = recip >> jnp.int32(8)
+    r_lo = recip & jnp.int32(0xFF)
+    n = (v * r_hi + ((v * r_lo + jnp.int32(0x8000)) >> jnp.int32(8))) >> jnp.int32(8)
+    return n + (jnp.sign(v) - jnp.sign(n))
+
+
+def _make_kernel(s: int, l: int, sff: int, sffp: int):
+    """Build the window-search kernel for S candidates x L lanes."""
+
+    def kernel(
+        state_ref,  # i32[9, S, L]: h0..3, w0..3, prev_sf (broadcast over S)
+        samples_ref,  # i32[1, SFFP, L]
+        nvalid_ref,  # i32[1, 1] in SMEM
+        sfval_ref,  # f32[1, S, L] scale-factor values
+        recip_ref,  # i32[1, S, L] reciprocals
+        rci_ref,  # i32[1, 2, L]: climit (=2^rs), kmax (=2^(rs-1)-1)
+        rcf_ref,  # f32[1, 4, L]: c0, stepfloor, endval, (pad)
+        codes_ref,  # out i32[1, SFFP, L]
+        sf_ref,  # out i32[1, 1, L]
+        ranks_ref,  # out i32[1, 2, L] (hi, lo)
+        state_out_ref,  # out i32[9, S, L]
+        h_s,  # scratch i32[4, S, L]
+        w_s,  # scratch i32[4, S, L]
+        p_s,  # scratch i32[1, S, L] prev_sf
+        q_s,  # scratch i32[SFFP, S, L] candidate codes
+    ):
+        i16_min = jnp.int32(-32768)
+        i16_max = jnp.int32(32767)
+        zero = jnp.int32(0)
+        one = jnp.int32(1)
+        u32_max = jnp.int32(-1)
+
+        w_idx = pl.program_id(0)
+
+        @pl.when(w_idx == 0)
+        def _():
+            h_s[:] = state_ref[0:4]
+            w_s[:] = state_ref[4:8]
+            p_s[:] = state_ref[8:9]
+
+        sfval = sfval_ref[0]  # [S, L] f32
+        recip = recip_ref[0]  # [S, L] i32
+        climit = rci_ref[0, 0:1, :]  # [1, L]
+        kmax = rci_ref[0, 1:2, :]
+        c0 = rcf_ref[0, 0:1, :]  # [1, L] f32
+        stepfloor = rcf_ref[0, 1:2, :]
+        endval = rcf_ref[0, 2:3, :]
+        nv = nvalid_ref[0, 0]
+
+        h0, h1, h2, h3 = h_s[0], h_s[1], h_s[2], h_s[3]
+        w0, w1, w2, w3 = w_s[0], w_s[1], w_s[2], w_s[3]
+        prev_sf = p_s[0]
+        rank_hi = jnp.zeros((s, l), jnp.int32)
+        rank_lo = jnp.zeros((s, l), jnp.int32)
+
+        is_rs2 = climit == jnp.int32(4)
+        two_m = climit << one
+
+        for t in range(sff):
+            smp = samples_ref[0, t : t + 1, :]  # [1, L]
+            pred = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> jnp.int32(13)
+            residual = smp - pred
+            scaled = _sea_div(residual, recip)
+            clamped = jnp.minimum(jnp.maximum(scaled, -climit), climit)
+            # zig-zag quantization, closed form (qt.rs:8-31)
+            i = clamped + climit
+            q_desc = climit - one - ((jnp.maximum(i - one, zero) >> one) << one)
+            q_asc = ((i - climit) >> one) << one
+            q = jnp.where(i < climit, q_desc, jnp.where(i == two_m, climit - jnp.int32(2), q_asc))
+            q = jnp.where(is_rs2 & (i == jnp.int32(2)), one, q)
+            q = jnp.where(is_rs2 & (i == jnp.int32(6)), zero, q)
+            # dequantization in f32, exactly as the table build (dqt.rs:99-126)
+            k = q >> one
+            curve = jnp.float32(0.5) + k.astype(jnp.float32) * stepfloor
+            curve = jnp.where(k == kmax, endval, curve)
+            curve = jnp.where(k == zero, c0, curve)
+            dq_abs = jnp.floor(sfval * curve + jnp.float32(0.5)).astype(jnp.int32)
+            dq = jnp.where((q & one) == one, -dq_abs, dq_abs)
+            recon = jnp.minimum(jnp.maximum(pred + dq, i16_min), i16_max)
+            err = smp - recon
+            e_hi, e_lo = _err_sq_pair(err)
+            p_hi, p_lo = _weights_penalty_pair(w0, w1, w2, w3)
+            a_hi, a_lo = _pair_add(e_hi, e_lo, p_hi, p_lo)
+            n_hi, n_lo = _pair_add(rank_hi, rank_lo, a_hi, a_lo)
+            valid = jnp.int32(t) < nv  # scalar
+            rank_hi = jnp.where(valid, n_hi, rank_hi)
+            rank_lo = jnp.where(valid, n_lo, rank_lo)
+            q_s[t] = q
+            # LMS update (lms.rs:43-51), frozen on invalid steps
+            delta = dq >> jnp.int32(4)
+            w0 = jnp.where(valid, w0 + jnp.where(h0 < 0, -delta, delta), w0)
+            w1 = jnp.where(valid, w1 + jnp.where(h1 < 0, -delta, delta), w1)
+            w2 = jnp.where(valid, w2 + jnp.where(h2 < 0, -delta, delta), w2)
+            w3 = jnp.where(valid, w3 + jnp.where(h3 < 0, -delta, delta), w3)
+            h0 = jnp.where(valid, h1, h0)
+            h1 = jnp.where(valid, h2, h1)
+            h2 = jnp.where(valid, h3, h2)
+            h3 = jnp.where(valid, recon, h3)
+
+        # lexicographic argmin over (rank_hi, rank_lo, rotated index);
+        # first-minimum-in-rotated-order == the reference's strict-improvement
+        # loop from prev_sf (encoder_base.rs:116-140).
+        sub = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
+        rot = (sub - prev_sf) & jnp.int32(s - 1)
+        xhi = rank_hi ^ I32_SIGN  # unsigned-order compare via sign flip
+        min_hi = jnp.min(xhi, axis=0, keepdims=True)
+        m1 = xhi == min_hi
+        xlo = jnp.where(m1, rank_lo ^ I32_SIGN, u32_max ^ I32_SIGN)
+        min_lo = jnp.min(xlo, axis=0, keepdims=True)
+        m2 = m1 & (xlo == min_lo)
+        rot_m = jnp.where(m2, rot, jnp.int32(s))
+        min_rot = jnp.min(rot_m, axis=0, keepdims=True)
+        winner = m2 & (rot_m == min_rot)  # exactly one row per column
+
+        def select(x):
+            return jnp.sum(jnp.where(winner, x, zero), axis=0, keepdims=True)
+
+        best_sf = select(sub)  # [1, L]
+        sf_ref[0] = best_sf
+        ranks_ref[0, 0:1, :] = select(rank_hi)
+        ranks_ref[0, 1:2, :] = select(rank_lo)
+        for t in range(sff):
+            codes_ref[0, t : t + 1, :] = select(q_s[t])
+        if sffp > sff:
+            for t in range(sff, sffp):
+                codes_ref[0, t : t + 1, :] = jnp.zeros((1, l), jnp.int32)
+
+        # winning candidate's state broadcasts to all candidates for the next
+        # window (encoder_base.rs:112,119: every candidate restarts from the
+        # winner's LMS)
+        h_s[0] = jnp.broadcast_to(select(h0), (s, l))
+        h_s[1] = jnp.broadcast_to(select(h1), (s, l))
+        h_s[2] = jnp.broadcast_to(select(h2), (s, l))
+        h_s[3] = jnp.broadcast_to(select(h3), (s, l))
+        w_s[0] = jnp.broadcast_to(select(w0), (s, l))
+        w_s[1] = jnp.broadcast_to(select(w1), (s, l))
+        w_s[2] = jnp.broadcast_to(select(w2), (s, l))
+        w_s[3] = jnp.broadcast_to(select(w3), (s, l))
+        p_s[0] = jnp.broadcast_to(best_sf, (s, l))
+
+        state_out_ref[0:4] = h_s[:]
+        state_out_ref[4:8] = w_s[:]
+        state_out_ref[8:9] = p_s[:]
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _rs_constants(scale_factor_bits: int):
+    """Host-precomputed per-(rs, sf) constants, f32-exact."""
+    s = 1 << scale_factor_bits
+    sfval = np.zeros((9, s), dtype=np.float32)  # index by rs (1..8)
+    recip = np.zeros((9, s), dtype=np.int32)
+    c0 = np.zeros(9, dtype=np.float32)
+    stepfloor = np.zeros(9, dtype=np.float32)
+    endval = np.zeros(9, dtype=np.float32)
+    kmax = np.zeros(9, dtype=np.int32)
+    climit = np.zeros(9, dtype=np.int32)
+    for rb in range(1, 9):
+        sfval[rb] = tables.scale_factors(rb, scale_factor_bits).astype(np.float32)
+        recip[rb] = tables.reciprocals(rb, scale_factor_bits)
+        curve = tables._dqt_curve(rb)
+        c0[rb] = curve[0]
+        endval[rb] = curve[-1]
+        if rb >= 3:
+            start = np.float32(0.75)
+            end = np.float32((1 << rb) - 1)
+            steps = 1 << (rb - 1)
+            stepfloor[rb] = np.float32(np.floor(np.float32(np.float32(end - start) / np.float32(steps - 1))))
+        kmax[rb] = (1 << (rb - 1)) - 1
+        climit[rb] = 1 << rb
+    return sfval, recip, c0, stepfloor, endval, kmax, climit
+
+
+def encode_windows_pallas_fn(
+    samples: jnp.ndarray,  # int32[W * sff, C]
+    rs: jnp.ndarray,  # int32[W, C]
+    n_valid: jnp.ndarray,  # int32[W]
+    hist0: jnp.ndarray,  # int32[C, 4]
+    wts0: jnp.ndarray,  # int32[C, 4]
+    prev_sf0: jnp.ndarray,  # int32[C]
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ops.device_encode.encode_windows_fn (same
+    returns) running the window search as a Pallas kernel."""
+    sff = scale_factor_frames
+    s = 1 << scale_factor_bits
+    wc = rs.shape[0]
+    c = samples.shape[1]
+    l = 128  # lane width; C channels occupy the first lanes
+    assert c <= l, "more than 128 channels per kernel lane block not supported yet"
+    sffp = -(-sff // 8) * 8
+
+    sfval_t, recip_t, c0_t, stepfloor_t, endval_t, kmax_t, climit_t = _rs_constants(
+        scale_factor_bits
+    )
+
+    # per-window streams, [W, ..., L]
+    rs_l = jnp.zeros((wc, l), jnp.int32).at[:, :c].set(rs)
+    rs_l = jnp.maximum(rs_l, 1)  # padding lanes: any valid rs
+    sfval = jnp.asarray(sfval_t)[rs_l]  # [W, L, S]
+    sfval = jnp.moveaxis(sfval, -1, 1)  # [W, S, L]
+    recip = jnp.moveaxis(jnp.asarray(recip_t)[rs_l], -1, 1)
+    rci = jnp.stack(
+        [jnp.asarray(climit_t)[rs_l], jnp.asarray(kmax_t)[rs_l]], axis=1
+    )  # [W, 2, L]
+    rcf = jnp.stack(
+        [
+            jnp.asarray(c0_t)[rs_l],
+            jnp.asarray(stepfloor_t)[rs_l],
+            jnp.asarray(endval_t)[rs_l],
+            jnp.zeros((wc, l), jnp.float32),
+        ],
+        axis=1,
+    )  # [W, 4, L]
+
+    smp = jnp.zeros((wc, sffp, l), jnp.int32)
+    smp = smp.at[:, :sff, :c].set(samples.reshape(wc, sff, c))
+
+    state = jnp.zeros((9, s, l), jnp.int32)
+    state = state.at[0:4, :, :c].set(jnp.broadcast_to(hist0.T[:, None, :], (4, s, c)))
+    state = state.at[4:8, :, :c].set(jnp.broadcast_to(wts0.T[:, None, :], (4, s, c)))
+    state = state.at[8, :, :c].set(jnp.broadcast_to(prev_sf0[None, :], (s, c)))
+
+    nv = n_valid.reshape(wc, 1).astype(jnp.int32)
+
+    kernel = _make_kernel(s, l, sff, sffp)
+    zi = lambda w: w * 0
+    out_shapes = (
+        jax.ShapeDtypeStruct((wc, sffp, l), jnp.int32),  # codes
+        jax.ShapeDtypeStruct((wc, 1, l), jnp.int32),  # sf
+        jax.ShapeDtypeStruct((wc, 2, l), jnp.int32),  # ranks (hi, lo)
+        jax.ShapeDtypeStruct((9, s, l), jnp.int32),  # state out
+    )
+    codes, sf, ranks, state_out = pl.pallas_call(
+        kernel,
+        grid=(wc,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec((9, s, l), lambda w: (zi(w), zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sffp, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda w: (w, zi(w)), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, sffp, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, s, l), lambda w: (zi(w), zi(w), zi(w)), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, s, l), jnp.int32),
+            pltpu.VMEM((4, s, l), jnp.int32),
+            pltpu.VMEM((1, s, l), jnp.int32),
+            pltpu.VMEM((sffp, s, l), jnp.int32),
+        ],
+        interpret=interpret,
+    )(state, smp, nv, sfval, recip, rci, rcf)
+
+    sf_out = sf[:, 0, :c].astype(jnp.uint8)  # [W, C]
+    codes_out = codes[:, :sff, :c].reshape(wc * sff, c).astype(jnp.uint8)
+    hi = ranks[:, 0, :c].astype(jnp.uint32).astype(jnp.uint64)
+    lo = ranks[:, 1, :c].astype(jnp.uint32).astype(jnp.uint64)
+    ranks_out = (hi << jnp.uint64(32)) | lo  # [W, C]
+    hist = state_out[0:4, 0, :c].T  # [C, 4] (all candidate rows equal)
+    wts = state_out[4:8, 0, :c].T
+    prev_sf = state_out[8, 0, :c].astype(jnp.int32)
+    return sf_out, codes_out, ranks_out, hist, wts, prev_sf
+
+
+encode_windows_pallas = jax.jit(
+    encode_windows_pallas_fn,
+    static_argnames=("scale_factor_frames", "scale_factor_bits", "interpret"),
+)

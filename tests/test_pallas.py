@@ -1,0 +1,30 @@
+"""Pallas decode kernel correctness (interpreter mode on CPU; the compiled
+kernel runs the same code on TPU and is exercised by bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sea_codec_tpu.ops import tables
+from sea_codec_tpu.ops.device_decode import decode_chunks
+from sea_codec_tpu.ops import lms as lms_ops
+
+
+@pytest.mark.parametrize("shape", [(3, 256, 2), (1, 100, 1), (9, 300, 3)])
+def test_pallas_decode_matches_scan(shape):
+    n, f, c = shape
+    rng = np.random.default_rng(f)
+    w = -(-f // 20)
+    codes = rng.integers(0, 8, size=(n, f, c)).astype(np.uint8)
+    sf = rng.integers(0, 16, size=(n, w, c)).astype(np.uint8)
+    rs = np.full((n, w, c), 3, dtype=np.uint8)
+    hist = rng.integers(-30000, 30000, size=(n, c, 4)).astype(np.int32)
+    wts = np.broadcast_to(lms_ops.initial_weights(c), (n, c, 4)).astype(np.int32)
+    dqt = jnp.asarray(tables.dqt_stacked(4).reshape(-1), jnp.int32)
+
+    args = tuple(jnp.asarray(a) for a in (codes, sf, rs, hist, wts))
+    ref = decode_chunks(*args, dqt, scale_factor_frames=20)
+    pal = decode_chunks(
+        *args, dqt, scale_factor_frames=20, use_pallas=True, pallas_interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(pal), np.asarray(ref))
