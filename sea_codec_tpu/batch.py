@@ -195,6 +195,148 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
     )
 
 
+def encode_sea(
+    samples: np.ndarray,
+    sample_rate: int,
+    channels: int,
+    settings=None,
+) -> bytes:
+    """Whole-file fast encode: one compiled program for all full chunks
+    (see ops.encode_file), host-side container assembly. Byte-identical to
+    the session encoder / one-shot API."""
+    import jax.numpy as jnp
+
+    from .encoder import EncoderSettings, SeaEncoder
+    from .models.vbr import interpolate_distribution, normalized_vbr_bitrate
+    from .ops import lms as lms_ops
+    from .ops.device_decode import default_use_pallas
+    from .ops.encode_file import encode_file_cbr, encode_file_vbr
+
+    if settings is None:
+        settings = EncoderSettings()
+    samples = np.asarray(samples, dtype=np.int16)
+    c = channels
+    fpc = settings.frames_per_chunk
+    sff = settings.scale_factor_frames
+    sfb = settings.scale_factor_bits
+    frames = samples.shape[0] // c
+    nc_full = frames // fpc
+    use_pallas = default_use_pallas() and c <= 128
+
+    header = SeaFileHeader(
+        version=1,
+        channels=c,
+        chunk_size=0,
+        frames_per_chunk=fpc,
+        sample_rate=sample_rate,
+        total_frames=frames,
+        metadata=settings.metadata,
+    )
+    residual_size = int(np.floor(settings.residual_bits))
+
+    hist = lms_ops.initial_history(c)
+    wts = lms_ops.initial_weights(c)
+    prev = np.zeros(c, dtype=np.int32)
+
+    chunks: list[bytes] = []
+    if nc_full:
+        x = (
+            samples[: nc_full * fpc * c]
+            .astype(np.int32)
+            .reshape(nc_full, fpc, c)
+        )
+        if settings.vbr:
+            target = normalized_vbr_bitrate(settings.residual_bits, fpc, sfb, sff)
+            base = int(target)
+            sortable = (fpc * c) // sff
+            m1, _t, p1, p2 = interpolate_distribution(sortable, target)
+            sf, codes, sizes, ehist, ewts, hist_j, wts_j, prev_j = encode_file_vbr(
+                jnp.asarray(x),
+                jnp.asarray(hist),
+                jnp.asarray(wts),
+                jnp.asarray(prev),
+                scale_factor_frames=sff,
+                scale_factor_bits=sfb,
+                base=base,
+                dist=(m1, p1, p2),
+                use_pallas=use_pallas,
+            )
+            sizes = np.asarray(sizes)
+        else:
+            sf, codes, ehist, ewts, hist_j, wts_j, prev_j = encode_file_cbr(
+                jnp.asarray(x),
+                jnp.asarray(hist),
+                jnp.asarray(wts),
+                jnp.asarray(prev),
+                scale_factor_frames=sff,
+                scale_factor_bits=sfb,
+                residual_size=residual_size,
+                use_pallas=use_pallas,
+            )
+            sizes = None
+        sf = np.asarray(sf)
+        codes = np.asarray(codes)
+        ehist = np.asarray(ehist)
+        ewts = np.asarray(ewts)
+        hist, wts, prev = np.asarray(hist_j), np.asarray(wts_j), np.asarray(prev_j)
+        for k in range(nc_full):
+            chunk = SeaChunk(
+                channels=c,
+                frames_in_chunk=fpc,
+                chunk_type=CHUNK_TYPE_VBR if settings.vbr else CHUNK_TYPE_CBR,
+                scale_factor_bits=sfb,
+                scale_factor_frames=sff,
+                residual_size=residual_size,
+                lms_history=ehist[k],
+                lms_weights=ewts[k],
+                scale_factors=sf[k].reshape(-1),
+                vbr_residual_sizes=(
+                    sizes[k].reshape(-1) if sizes is not None else np.zeros(0, np.uint8)
+                ),
+                residuals=codes[k].reshape(-1),
+            )
+            chunks.append(chunk.serialize())
+
+    # ragged tail chunk via the per-chunk model path, seeded with the carried
+    # state (bit-identical to the session's final encode_frame)
+    tail_frames = frames - nc_full * fpc
+    if tail_frames:
+        from .models import CbrEncoderModel, VbrEncoderModel
+
+        model_cls = VbrEncoderModel if settings.vbr else CbrEncoderModel
+        model = model_cls(
+            channels=c,
+            scale_factor_bits=sfb,
+            scale_factor_frames=sff,
+            residual_bits=settings.residual_bits,
+            frames_per_chunk=fpc,
+        )
+        model.state.hist = hist.astype(np.int32)
+        model.state.wts = wts.astype(np.int32)
+        model.state.prev_sf = prev.astype(np.int32)
+        ehist_t, ewts_t = model.lms_snapshot
+        tail_samples = samples[nc_full * fpc * c : frames * c]
+        enc = model.encode(tail_samples)
+        chunk = SeaChunk(
+            channels=c,
+            frames_in_chunk=tail_frames,
+            chunk_type=CHUNK_TYPE_VBR if settings.vbr else CHUNK_TYPE_CBR,
+            scale_factor_bits=sfb,
+            scale_factor_frames=sff,
+            residual_size=residual_size,
+            lms_history=ehist_t,
+            lms_weights=ewts_t,
+            scale_factors=enc.scale_factors,
+            vbr_residual_sizes=enc.residual_bits,
+            residuals=enc.residuals,
+        )
+        chunks.append(chunk.serialize())
+
+    if chunks:
+        header.chunk_size = len(chunks[0])
+    return header.serialize() + b"".join(chunks)
+
+
 def decode_corpus(files: list[bytes], device_batch: int = 1024) -> list[SeaDecodeInfo]:
     """Decode many .sea files with host-parse / device-compute overlap.
 

@@ -39,13 +39,29 @@ class EncoderBaseState:
 
 
 class EncoderKernel:
-    """Holds the device tables and runs the window-search kernel."""
+    """Holds the device tables and runs the window-search kernel.
 
-    def __init__(self, channels: int, scale_factor_bits: int, scale_factor_frames: int):
+    On TPU backends the search runs as a Pallas kernel
+    (``ops.pallas_encode``); elsewhere (CPU tests, interpret) it runs as the
+    XLA scan (``ops.device_encode``). Both are bit-identical.
+    """
+
+    def __init__(
+        self,
+        channels: int,
+        scale_factor_bits: int,
+        scale_factor_frames: int,
+        use_pallas: bool | None = None,
+    ):
         self.channels = channels
         self.scale_factor_bits = scale_factor_bits
         self.scale_factor_frames = scale_factor_frames
         self.n_candidates = 1 << scale_factor_bits
+        if use_pallas is None:
+            from ..ops.device_decode import default_use_pallas
+
+            use_pallas = default_use_pallas() and channels <= 128
+        self.use_pallas = use_pallas
         self.dqt_flat = jnp.asarray(
             tables.dqt_stacked(scale_factor_bits).reshape(-1), dtype=jnp.int32
         )
@@ -88,20 +104,34 @@ class EncoderKernel:
             frames - np.arange(w_pad, dtype=np.int32) * sff, 0, sff
         ).astype(np.int32)
 
-        sf, codes, ranks, hist, wts, prev_sf = encode_windows(
-            jnp.asarray(x),
-            jnp.asarray(rs),
-            jnp.asarray(n_valid),
-            jnp.asarray(state.hist),
-            jnp.asarray(state.wts),
-            jnp.asarray(state.prev_sf),
-            self.dqt_flat,
-            self.recip,
-            self.qtab,
-            self.qt_offsets,
-            scale_factor_frames=sff,
-            n_candidates=self.n_candidates,
-        )
+        if self.use_pallas:
+            from ..ops.pallas_encode import encode_windows_pallas
+
+            sf, codes, ranks, hist, wts, prev_sf = encode_windows_pallas(
+                jnp.asarray(x),
+                jnp.asarray(rs),
+                jnp.asarray(n_valid),
+                jnp.asarray(state.hist),
+                jnp.asarray(state.wts),
+                jnp.asarray(state.prev_sf),
+                scale_factor_frames=sff,
+                scale_factor_bits=self.scale_factor_bits,
+            )
+        else:
+            sf, codes, ranks, hist, wts, prev_sf = encode_windows(
+                jnp.asarray(x),
+                jnp.asarray(rs),
+                jnp.asarray(n_valid),
+                jnp.asarray(state.hist),
+                jnp.asarray(state.wts),
+                jnp.asarray(state.prev_sf),
+                self.dqt_flat,
+                self.recip,
+                self.qtab,
+                self.qt_offsets,
+                scale_factor_frames=sff,
+                n_candidates=self.n_candidates,
+            )
         if update_lms:
             state.hist = np.asarray(hist)
             state.wts = np.asarray(wts)

@@ -1,0 +1,145 @@
+"""Whole-file encoding as a single compiled program.
+
+The session encoder (one device call per chunk) pays per-call dispatch
+overhead ~256 times per file. Here the sequential chunk chain is expressed
+as a ``lax.scan`` whose body encodes one full chunk (itself a window-grid
+kernel: Pallas on TPU, the XLA scan elsewhere), so an entire file's encode --
+including the VBR two-pass with its on-device error ranking -- is ONE jitted
+program. Per-chunk LMS entry states (needed for the chunk headers) fall out
+of the scan carry.
+
+VBR specifics mirror ``models/vbr.py`` exactly: pass 1 at base+1 bits from
+the current state, LMS restored but prev_sf kept (reference
+``encoder_vbr.rs:168``), stable error ranking, distribution counts static
+per full chunk, sizes capped at 8.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tables
+from .device_encode import encode_windows_fn
+
+
+def _window_kernel(use_pallas: bool, sff: int, sfb: int):
+    if use_pallas:
+        from .pallas_encode import encode_windows_pallas_fn
+
+        def run(samples, rs, n_valid, hist, wts, prev):
+            return encode_windows_pallas_fn(
+                samples, rs, n_valid, hist, wts, prev,
+                scale_factor_frames=sff, scale_factor_bits=sfb,
+            )
+
+        return run
+
+    dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), jnp.int32)
+    recip = jnp.asarray(tables.reciprocals_stacked(sfb), jnp.int32)
+    qtab = jnp.asarray(tables.quant_tab(), jnp.int32)
+    qt_offsets = jnp.asarray(tables.quant_offsets(), jnp.int32)
+
+    def run(samples, rs, n_valid, hist, wts, prev):
+        return encode_windows_fn(
+            samples, rs, n_valid, hist, wts, prev,
+            dqt_flat, recip, qtab, qt_offsets,
+            scale_factor_frames=sff, n_candidates=1 << sfb,
+        )
+
+    return run
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames",
+        "scale_factor_bits",
+        "residual_size",
+        "use_pallas",
+    ),
+)
+def encode_file_cbr(
+    samples: jnp.ndarray,  # int32[nc, fpc, C] full chunks only
+    hist0: jnp.ndarray,  # int32[C, 4]
+    wts0: jnp.ndarray,
+    prev0: jnp.ndarray,  # int32[C]
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    residual_size: int,
+    use_pallas: bool,
+):
+    nc, fpc, c = samples.shape
+    sff = scale_factor_frames
+    w = fpc // sff
+    run = _window_kernel(use_pallas, sff, scale_factor_bits)
+    rs = jnp.full((w, c), residual_size, jnp.int32)
+    nv = jnp.full((w,), sff, jnp.int32)
+
+    def body(carry, smp):
+        hist, wts, prev = carry
+        sf, codes, _ranks, h2, w2, p2 = run(smp.reshape(fpc, c), rs, nv, hist, wts, prev)
+        return (h2, w2, p2), (sf, codes, hist, wts)
+
+    (hist, wts, prev), (sf, codes, ehist, ewts) = jax.lax.scan(
+        body, (hist0, wts0, prev0), samples
+    )
+    return sf, codes, ehist, ewts, hist, wts, prev
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames",
+        "scale_factor_bits",
+        "base",
+        "dist",
+        "use_pallas",
+    ),
+)
+def encode_file_vbr(
+    samples: jnp.ndarray,  # int32[nc, fpc, C]
+    hist0: jnp.ndarray,
+    wts0: jnp.ndarray,
+    prev0: jnp.ndarray,
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    base: int,  # trunc(normalized target bitrate)
+    dist: tuple,  # (m1, p1, p2) distribution counts (static per full chunk)
+    use_pallas: bool,
+):
+    nc, fpc, c = samples.shape
+    sff = scale_factor_frames
+    w = fpc // sff
+    m1, p1, p2 = dist
+    sortable = (fpc * c) // sff
+    run = _window_kernel(use_pallas, sff, scale_factor_bits)
+    rs1 = jnp.full((w, c), base + 1, jnp.int32)
+    nv = jnp.full((w,), sff, jnp.int32)
+
+    def body(carry, smp):
+        hist, wts, prev = carry
+        flat = smp.reshape(fpc, c)
+        # pass 1: analyze at base+1; LMS restored, prev_sf kept
+        _sf1, _codes1, ranks, _h1, _w1, prev1 = run(flat, rs1, nv, hist, wts, prev)
+        errors = ranks.reshape(-1)  # [w*c] uint64, window-major channel-minor
+        order = jnp.argsort(errors[:sortable], stable=True)
+        sizes = jnp.full((w * c,), base, jnp.int32)
+        if m1:
+            sizes = sizes.at[order[:m1]].set(base - 1)
+        if p1:
+            sizes = sizes.at[order[sortable - p2 - p1 : sortable - p2]].set(base + 1)
+        if p2:
+            sizes = sizes.at[order[sortable - p2 :]].set(base + 2)
+        sizes = jnp.minimum(sizes, 8)  # see models/vbr.py on the size-9 cap
+        rs2 = sizes.reshape(w, c)
+        sf, codes, _ranks2, h2, w2, p2_ = run(flat, rs2, nv, hist, wts, prev1)
+        return (h2, w2, p2_), (sf, codes, sizes.astype(jnp.uint8), hist, wts)
+
+    (hist, wts, prev), (sf, codes, sizes, ehist, ewts) = jax.lax.scan(
+        body, (hist0, wts0, prev0), samples
+    )
+    return sf, codes, sizes, ehist, ewts, hist, wts, prev

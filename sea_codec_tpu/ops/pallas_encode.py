@@ -136,10 +136,9 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int):
     def kernel(
         state_ref,  # i32[9, S, L]: h0..3, w0..3, prev_sf (broadcast over S)
         samples_ref,  # i32[1, SFFP, L]
-        nvalid_ref,  # i32[1, 1] in SMEM
         sfval_ref,  # f32[1, S, L] scale-factor values
         recip_ref,  # i32[1, S, L] reciprocals
-        rci_ref,  # i32[1, 2, L]: climit (=2^rs), kmax (=2^(rs-1)-1)
+        rci_ref,  # i32[1, 3, L]: climit (=2^rs), kmax (=2^(rs-1)-1), n_valid
         rcf_ref,  # f32[1, 4, L]: c0, stepfloor, endval, (pad)
         codes_ref,  # out i32[1, SFFP, L]
         sf_ref,  # out i32[1, 1, L]
@@ -168,10 +167,10 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int):
         recip = recip_ref[0]  # [S, L] i32
         climit = rci_ref[0, 0:1, :]  # [1, L]
         kmax = rci_ref[0, 1:2, :]
+        nv = rci_ref[0, 2:3, :]  # [1, L] (window frame count, broadcast)
         c0 = rcf_ref[0, 0:1, :]  # [1, L] f32
         stepfloor = rcf_ref[0, 1:2, :]
         endval = rcf_ref[0, 2:3, :]
-        nv = nvalid_ref[0, 0]
 
         h0, h1, h2, h3 = h_s[0], h_s[1], h_s[2], h_s[3]
         w0, w1, w2, w3 = w_s[0], w_s[1], w_s[2], w_s[3]
@@ -208,7 +207,7 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int):
             p_hi, p_lo = _weights_penalty_pair(w0, w1, w2, w3)
             a_hi, a_lo = _pair_add(e_hi, e_lo, p_hi, p_lo)
             n_hi, n_lo = _pair_add(rank_hi, rank_lo, a_hi, a_lo)
-            valid = jnp.int32(t) < nv  # scalar
+            valid = jnp.int32(t) < nv  # [1, L] mask (broadcasts over S)
             rank_hi = jnp.where(valid, n_hi, rank_hi)
             rank_lo = jnp.where(valid, n_lo, rank_lo)
             q_s[t] = q
@@ -239,7 +238,9 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int):
         winner = m2 & (rot_m == min_rot)  # exactly one row per column
 
         def select(x):
-            return jnp.sum(jnp.where(winner, x, zero), axis=0, keepdims=True)
+            return jnp.sum(
+                jnp.where(winner, x, zero), axis=0, keepdims=True, dtype=jnp.int32
+            )
 
         best_sf = select(sub)  # [1, L]
         sf_ref[0] = best_sf
@@ -329,9 +330,10 @@ def encode_windows_pallas_fn(
     sfval = jnp.asarray(sfval_t)[rs_l]  # [W, L, S]
     sfval = jnp.moveaxis(sfval, -1, 1)  # [W, S, L]
     recip = jnp.moveaxis(jnp.asarray(recip_t)[rs_l], -1, 1)
+    nv_l = jnp.broadcast_to(n_valid.reshape(wc, 1).astype(jnp.int32), (wc, l))
     rci = jnp.stack(
-        [jnp.asarray(climit_t)[rs_l], jnp.asarray(kmax_t)[rs_l]], axis=1
-    )  # [W, 2, L]
+        [jnp.asarray(climit_t)[rs_l], jnp.asarray(kmax_t)[rs_l], nv_l], axis=1
+    )  # [W, 3, L]
     rcf = jnp.stack(
         [
             jnp.asarray(c0_t)[rs_l],
@@ -350,8 +352,6 @@ def encode_windows_pallas_fn(
     state = state.at[4:8, :, :c].set(jnp.broadcast_to(wts0.T[:, None, :], (4, s, c)))
     state = state.at[8, :, :c].set(jnp.broadcast_to(prev_sf0[None, :], (s, c)))
 
-    nv = n_valid.reshape(wc, 1).astype(jnp.int32)
-
     kernel = _make_kernel(s, l, sff, sffp)
     zi = lambda w: w * 0
     out_shapes = (
@@ -367,10 +367,9 @@ def encode_windows_pallas_fn(
         in_specs=[
             pl.BlockSpec((9, s, l), lambda w: (zi(w), zi(w), zi(w)), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sffp, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda w: (w, zi(w)), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -386,7 +385,7 @@ def encode_windows_pallas_fn(
             pltpu.VMEM((sffp, s, l), jnp.int32),
         ],
         interpret=interpret,
-    )(state, smp, nv, sfval, recip, rci, rcf)
+    )(state, smp, sfval, recip, rci, rcf)
 
     sf_out = sf[:, 0, :c].astype(jnp.uint8)  # [W, C]
     codes_out = codes[:, :sff, :c].reshape(wc * sff, c).astype(jnp.uint8)

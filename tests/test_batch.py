@@ -36,3 +36,20 @@ def test_batch_full_size_ragged_final_chunk():
     session = sea_decode(encoded)
     batched = decode_sea(encoded)
     np.testing.assert_array_equal(np.asarray(batched.samples), np.asarray(session.samples))
+
+
+@pytest.mark.parametrize("vbr", [False, True])
+@pytest.mark.parametrize("channels", [1, 2, 3])
+@pytest.mark.parametrize("frames", [999, 1000, 5000, 12345])
+def test_fast_encode_matches_session(vbr, channels, frames):
+    from sea_codec_tpu.batch import encode_sea
+
+    samples = gen_test_signal(channels, frames)
+    n = samples.shape[0] // channels
+    samples = samples[: n * channels]
+    settings = EncoderSettings(
+        frames_per_chunk=1000, residual_bits=2.5 if vbr else 3.0, vbr=vbr
+    )
+    session = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings)
+    fast = encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)
+    assert fast == session
