@@ -337,64 +337,88 @@ def encode_sea(
     return header.serialize() + b"".join(chunks)
 
 
-def decode_corpus(files: list[bytes], device_batch: int = 1024) -> list[SeaDecodeInfo]:
+def decode_range(encoded: bytes, start_frame: int, n_frames: int) -> np.ndarray:
+    """Constant-time seek + decode of an arbitrary frame range.
+
+    Every chunk is self-contained (it carries its own LMS entry state,
+    reference ``README.md:88-121``), so only the chunks overlapping
+    [start_frame, start_frame + n_frames) are read and decoded -- O(range),
+    independent of the file position. Returns int16[n_frames * channels].
+    """
+    header, rect, tail = split_chunks(encoded)
+    fpc = header.frames_per_chunk
+    c = header.channels
+    total = header.total_frames
+    if total:
+        start_frame = min(start_frame, total)
+        n_frames = min(n_frames, total - start_frame)
+    if n_frames <= 0:
+        return np.zeros(0, dtype=np.int16)
+    k0 = start_frame // fpc
+    k1 = -(-(start_frame + n_frames) // fpc)
+
+    parts = []
+    n_rect = rect.shape[0] if rect is not None else 0
+    if k0 < n_rect:
+        sub = rect[k0 : min(k1, n_rect)]
+        batch = parse_full_chunks(sub, header)
+        dqt_flat = jnp.asarray(
+            tables.dqt_stacked(batch.scale_factor_bits).reshape(-1), dtype=jnp.int32
+        )
+        pcm = decode_chunks_packed(
+            jnp.asarray(batch.res_bytes),
+            jnp.asarray(batch.sf),
+            jnp.asarray(batch.rs),
+            jnp.asarray(batch.hist),
+            jnp.asarray(batch.wts),
+            dqt_flat,
+            scale_factor_frames=batch.scale_factor_frames,
+            frames=fpc,
+            residual_size=batch.residual_size,
+            use_pallas=default_use_pallas(),
+        )
+        parts.append(np.asarray(pcm).reshape(-1, c))
+    if k1 > n_rect and tail:
+        remaining = total - n_rect * fpc if total > 0 else None
+        chunk = SeaChunk.from_bytes(tail, header, remaining)
+        model = DecoderModel(c, chunk.scale_factor_bits)
+        parts.append(model.decode_chunk(chunk).reshape(-1, c))
+    pcm = np.concatenate(parts) if parts else np.zeros((0, c), np.int16)
+    off = start_frame - k0 * fpc
+    return pcm[off : off + n_frames].reshape(-1)
+
+
+def decode_corpus(
+    files: list[bytes], device_batch: int = 1024, on_error: str = "raise"
+) -> list[SeaDecodeInfo | None]:
     """Decode many .sea files with host-parse / device-compute overlap.
 
     JAX dispatch is asynchronous: all device batches are enqueued while the
     host is still parsing later files, and results are fetched afterwards --
     a software-pipelined corpus decode (the BASELINE "1,000-file corpus"
     configuration). Per-file outputs are bit-identical to ``decode_sea``.
+
+    ``on_error="skip"`` reports undecodable files as ``None`` instead of
+    aborting the corpus (batch-pipeline failure containment).
     """
+    assert on_error in ("raise", "skip")
     staged = []  # (header, pending device arrays, frames_real, tail_part)
     dqt_cache: dict[int, jnp.ndarray] = {}
     for encoded in files:
-        header, rect, tail = split_chunks(encoded)
-        fpc = header.frames_per_chunk
-        outs = []
-        frames_real = None
-        if rect is not None:
-            batch = parse_full_chunks(rect, header)
-            sfb = batch.scale_factor_bits
-            if sfb not in dqt_cache:
-                dqt_cache[sfb] = jnp.asarray(
-                    tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32
-                )
-            n = rect.shape[0]
-            frames_real = np.full(n, fpc, dtype=np.int64)
-            if header.total_frames > 0:
-                frames_real = np.minimum(
-                    frames_real,
-                    header.total_frames - np.arange(n, dtype=np.int64) * fpc,
-                )
-            for start in range(0, n, device_batch):
-                end = min(start + device_batch, n)
-                outs.append(
-                    decode_chunks_packed(
-                        jnp.asarray(batch.res_bytes[start:end]),
-                        jnp.asarray(batch.sf[start:end]),
-                        jnp.asarray(batch.rs[start:end]),
-                        jnp.asarray(batch.hist[start:end]),
-                        jnp.asarray(batch.wts[start:end]),
-                        dqt_cache[sfb],
-                        scale_factor_frames=batch.scale_factor_frames,
-                        frames=fpc,
-                        residual_size=batch.residual_size,
-                        use_pallas=default_use_pallas(),
-                    )
-                )
-        tail_part = None
-        if tail:
-            n_full = rect.shape[0] if rect is not None else 0
-            remaining = (
-                header.total_frames - n_full * fpc if header.total_frames > 0 else None
-            )
-            chunk = SeaChunk.from_bytes(tail, header, remaining)
-            model = DecoderModel(header.channels, chunk.scale_factor_bits)
-            tail_part = model.decode_chunk(chunk)
-        staged.append((header, outs, frames_real, tail_part, fpc))
+        if on_error == "skip":
+            try:
+                staged.append(_stage_file(encoded, device_batch, dqt_cache))
+            except Exception:
+                staged.append(None)
+        else:
+            staged.append(_stage_file(encoded, device_batch, dqt_cache))
 
-    results = []
-    for header, outs, frames_real, tail_part, fpc in staged:
+    results: list[SeaDecodeInfo | None] = []
+    for item in staged:
+        if item is None:
+            results.append(None)
+            continue
+        header, outs, frames_real, tail_part, fpc = item
         parts = []
         done = 0
         for out in outs:
@@ -417,6 +441,53 @@ def decode_corpus(files: list[bytes], device_batch: int = 1024) -> list[SeaDecod
             )
         )
     return results
+
+
+def _stage_file(encoded: bytes, device_batch: int, dqt_cache: dict):
+    header, rect, tail = split_chunks(encoded)
+    fpc = header.frames_per_chunk
+    outs = []
+    frames_real = None
+    if rect is not None:
+        batch = parse_full_chunks(rect, header)
+        sfb = batch.scale_factor_bits
+        if sfb not in dqt_cache:
+            dqt_cache[sfb] = jnp.asarray(
+                tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32
+            )
+        n = rect.shape[0]
+        frames_real = np.full(n, fpc, dtype=np.int64)
+        if header.total_frames > 0:
+            frames_real = np.minimum(
+                frames_real,
+                header.total_frames - np.arange(n, dtype=np.int64) * fpc,
+            )
+        for start in range(0, n, device_batch):
+            end = min(start + device_batch, n)
+            outs.append(
+                decode_chunks_packed(
+                    jnp.asarray(batch.res_bytes[start:end]),
+                    jnp.asarray(batch.sf[start:end]),
+                    jnp.asarray(batch.rs[start:end]),
+                    jnp.asarray(batch.hist[start:end]),
+                    jnp.asarray(batch.wts[start:end]),
+                    dqt_cache[sfb],
+                    scale_factor_frames=batch.scale_factor_frames,
+                    frames=fpc,
+                    residual_size=batch.residual_size,
+                    use_pallas=default_use_pallas(),
+                )
+            )
+    tail_part = None
+    if tail:
+        n_full = rect.shape[0] if rect is not None else 0
+        remaining = (
+            header.total_frames - n_full * fpc if header.total_frames > 0 else None
+        )
+        chunk = SeaChunk.from_bytes(tail, header, remaining)
+        model = DecoderModel(header.channels, chunk.scale_factor_bits)
+        tail_part = model.decode_chunk(chunk)
+    return (header, outs, frames_real, tail_part, fpc)
 
 
 # Backwards-compatible helper used by the parallel tests: parsed arrays with

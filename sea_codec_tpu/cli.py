@@ -104,35 +104,22 @@ def main(argv: list[str] | None = None) -> int:
     import numpy as np
 
     if (in_ext, out_ext) == ("wav", "sea"):
-        from .encoder import SeaEncoder
+        from .batch import encode_sea
         from .utils.wav import read_wav
 
         try:
             wave = read_wav(args.input)
         except (OSError, ValueError):
             _die("Failed to decode .wav file")
-        import io
-
-        reader = io.BytesIO(wave.samples.astype("<i2").tobytes())
+        t0 = time.perf_counter()
+        encoded = encode_sea(wave.samples, wave.sample_rate, wave.channels, settings)
+        elapsed = time.perf_counter() - t0
         try:
-            writer = open(args.output, "wb")
+            with open(args.output, "wb") as f:
+                f.write(encoded)
         except OSError:
             _die("Failed to create output file")
-        t0 = time.perf_counter()
-        enc = SeaEncoder(
-            wave.channels,
-            wave.sample_rate,
-            wave.samples.shape[0] // wave.channels,
-            settings,
-            reader,
-            writer,
-        )
-        while enc.encode_frame():
-            pass
-        enc.finalize()
-        elapsed = time.perf_counter() - t0
-        out_size = writer.tell()
-        writer.close()
+        out_size = len(encoded)
         if args.stats:
             n = wave.samples.shape[0]
             print(
@@ -141,30 +128,27 @@ def main(argv: list[str] | None = None) -> int:
                 f"in {elapsed * 1e3:.1f} ms ({n / max(elapsed, 1e-9) / 1e6:.1f} Msamples/s)"
             )
     elif (in_ext, out_ext) == ("sea", "wav"):
-        from .decoder import SeaDecoder
+        import io
+
+        from .batch import decode_sea
+        from .container import SeaFileHeader
         from .utils.errors import SeaError
         from .utils.wav import write_wav
 
         try:
-            infile = open(args.input, "rb")
+            with open(args.input, "rb") as f:
+                data = f.read()
         except OSError:
             _die("Failed to open input file")
-        import io
-
-        out = io.BytesIO()
         t0 = time.perf_counter()
         try:
-            dec = SeaDecoder(infile, out)
-            while dec.decode_frame():
-                pass
-            dec.finalize()
+            info = decode_sea(data)
         except SeaError:
             _die("Failed to decode frame")
         elapsed = time.perf_counter() - t0
-        infile.close()
-        header = dec.get_header()
-        samples = np.frombuffer(out.getvalue(), dtype="<i2")
-        write_wav(samples, header.channels, header.sample_rate, args.output)
+        header = SeaFileHeader.from_reader(io.BytesIO(data))
+        samples = np.asarray(info.samples)
+        write_wav(samples, info.channels, info.sample_rate, args.output)
         if args.stats:
             n = samples.shape[0]
             print(

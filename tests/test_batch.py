@@ -53,3 +53,46 @@ def test_fast_encode_matches_session(vbr, channels, frames):
     session = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings)
     fast = encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)
     assert fast == session
+
+
+def test_decode_range_seek():
+    from sea_codec_tpu.batch import decode_range
+
+    samples = gen_test_signal(2, 12345)
+    n = samples.shape[0] // 2
+    samples = samples[: n * 2]
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, 2, EncoderSettings(frames_per_chunk=1000))
+    full = np.asarray(sea_decode(encoded).samples)
+    for start, count in [(0, 100), (999, 2), (5500, 3000), (n - 10, 100)]:
+        got = decode_range(encoded, start, count)
+        want = full[start * 2 : (start + min(count, n - start)) * 2]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_decode_corpus_skip_bad_files():
+    from sea_codec_tpu.batch import decode_corpus
+
+    samples = gen_test_signal(1, 3000)
+    good = sea_encode(samples, TEST_SAMPLE_RATE, 1, EncoderSettings(frames_per_chunk=1000))
+    bad = b"not a sea file"
+    results = decode_corpus([good, bad, good], on_error="skip")
+    assert results[1] is None
+    np.testing.assert_array_equal(
+        np.asarray(results[0].samples), np.asarray(results[2].samples)
+    )
+
+
+def test_decode_corpus_matches_single():
+    from sea_codec_tpu.batch import decode_corpus
+
+    files = []
+    expected = []
+    for ch, frames in [(1, 2500), (2, 7003), (3, 1000)]:
+        s = gen_test_signal(ch, frames)
+        s = s[: (s.shape[0] // ch) * ch]
+        f = sea_encode(s, TEST_SAMPLE_RATE, ch, EncoderSettings(frames_per_chunk=1000))
+        files.append(f)
+        expected.append(np.asarray(sea_decode(f).samples))
+    results = decode_corpus(files)
+    for r, e in zip(results, expected):
+        np.testing.assert_array_equal(np.asarray(r.samples), e)
