@@ -45,16 +45,37 @@ def decode_chunks_fn(
     n_sf = dqt_flat.shape[0] // (8 * 256)
     assert w * scale_factor_frames >= f
 
-    # Per-frame scale factor / residual size: repeat each window sff times.
-    reps = scale_factor_frames
-    sf_pf = jnp.repeat(sf_codes, reps, axis=1, total_repeat_length=w * reps)[:, :f]
-    rs_pf = jnp.repeat(rs, reps, axis=1, total_repeat_length=w * reps)[:, :f]
+    # Per-window dequantization constants via small gathers ([N, W, C], 20x
+    # fewer elements than per-sample), then the per-sample dequantized value
+    # computed *arithmetically* -- a [N, F, C]-sized table gather here would
+    # dominate the whole decode (XLA TPU gathers are ~10 ns/element).
+    # The closed forms reproduce the table build exactly (see FORMAT.md and
+    # ops/pallas_encode.py); bit-equality with the gather path is tested.
+    from .pallas_encode import _rs_constants
 
-    # Hoisted dequantization gather: [N, F, C] int32.
-    idx = (
-        (rs_pf.astype(jnp.int32) - 1) * n_sf + sf_pf.astype(jnp.int32)
-    ) * 256 + codes.astype(jnp.int32)
-    dq = jnp.take(dqt_flat, idx)
+    sfb = int(np.log2(n_sf))
+    sfval_t, _recip, c0_t, stepf_t, endv_t, kmax_t, _cl = _rs_constants(sfb)
+    sf_w = sf_codes.astype(jnp.int32)
+    rs_w = rs.astype(jnp.int32)
+    sfval_win = jnp.asarray(sfval_t)[rs_w, sf_w]  # [N, W, C] f32
+    c0_win = jnp.asarray(c0_t)[rs_w]
+    stepf_win = jnp.asarray(stepf_t)[rs_w]
+    endv_win = jnp.asarray(endv_t)[rs_w]
+    kmax_win = jnp.asarray(kmax_t)[rs_w]
+
+    reps = scale_factor_frames
+
+    def pf(x):  # repeat per-window values to per-frame
+        return jnp.repeat(x, reps, axis=1, total_repeat_length=w * reps)[:, :f]
+
+    q = codes.astype(jnp.int32)
+    k = q >> 1
+    kf = k.astype(jnp.float32)
+    curve = jnp.float32(0.5) + kf * pf(stepf_win)
+    curve = jnp.where(k == pf(kmax_win), pf(endv_win), curve)
+    curve = jnp.where(k == 0, pf(c0_win), curve)
+    dq_abs = jnp.floor(pf(sfval_win) * curve + jnp.float32(0.5)).astype(jnp.int32)
+    dq = jnp.where((q & 1) == 1, -dq_abs, dq_abs)
 
     if use_pallas:
         from .pallas_decode import decode_scan_pallas
@@ -103,6 +124,36 @@ def unpack_const_device(data: jnp.ndarray, width: int, count: int) -> jnp.ndarra
     return jnp.sum(gathered * weights[None, None, :], axis=2, dtype=jnp.uint8)
 
 
+def unpack_const_strided(data: jnp.ndarray, width: int, count: int) -> jnp.ndarray:
+    """Gather-free constant-width unpack via the bitstream's periodicity.
+
+    A w-bit MSB-first stream repeats every lcm(w, 8) bits = p bytes carrying
+    g codes; code j of each group spans at most two bytes at a static offset.
+    Building a 16-bit sliding window over the row turns extraction into g
+    static *strided slices* + shifts -- no gather anywhere, pure VPU work.
+    """
+    import math
+
+    n, b = data.shape
+    p = (w_lcm := (width * 8) // math.gcd(width, 8)) // 8  # bytes per period
+    g = w_lcm // width  # codes per period
+    groups = -(-count // g)
+    need = groups * p + 1
+    if b < need:
+        data = jnp.pad(data, ((0, 0), (0, need - b)))
+    d16 = data.astype(jnp.int32)
+    u16 = (d16[:, : groups * p] << 8) | d16[:, 1 : groups * p + 1]  # [N, groups*p]
+    mask = jnp.int32((1 << width) - 1)
+    cols = []
+    for j in range(g):
+        bit = width * j
+        off = bit // 8
+        shift = jnp.int32(16 - (bit % 8) - width)
+        cols.append((u16[:, off :: p] >> shift) & mask)  # [N, groups]
+    codes = jnp.stack(cols, axis=2).reshape(n, groups * g)  # [N, groups*g]
+    return codes[:, :count].astype(jnp.uint8)
+
+
 def unpack_var_device(data: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
     """Per-item-width MSB-first unpack on device.
 
@@ -140,7 +191,7 @@ def decode_chunks_packed_fn(
     n, w, c = sf_codes.shape
     count = frames * c
     if residual_size:
-        codes = unpack_const_device(res_bytes, residual_size, count)
+        codes = unpack_const_strided(res_bytes, residual_size, count)
     else:
         widths = jnp.repeat(
             rs.astype(jnp.int32),

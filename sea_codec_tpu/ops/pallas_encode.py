@@ -130,19 +130,21 @@ def _sea_div(v, recip):
     return n + (jnp.sign(v) - jnp.sign(n))
 
 
-def _make_kernel(s: int, l: int, sff: int, sffp: int):
-    """Build the window-search kernel for S candidates x L lanes."""
+def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int):
+    """Build the window-search kernel: S candidates x L lanes, ``wb`` windows
+    per grid step (a fori_loop inside the kernel -- per-window grid steps
+    would pay block-switch overhead ~50x the window's compute)."""
 
     def kernel(
         state_ref,  # i32[9, S, L]: h0..3, w0..3, prev_sf (broadcast over S)
-        samples_ref,  # i32[1, SFFP, L]
-        sfval_ref,  # f32[1, S, L] scale-factor values
-        recip_ref,  # i32[1, S, L] reciprocals
-        rci_ref,  # i32[1, 3, L]: climit (=2^rs), kmax (=2^(rs-1)-1), n_valid
-        rcf_ref,  # f32[1, 4, L]: c0, stepfloor, endval, (pad)
-        codes_ref,  # out i32[1, SFFP, L]
-        sf_ref,  # out i32[1, 1, L]
-        ranks_ref,  # out i32[1, 2, L] (hi, lo)
+        samples_ref,  # i32[WB, SFFP, L]
+        sfval_ref,  # f32[WB, S, L] scale-factor values
+        recip_ref,  # i32[WB, S, L] reciprocals
+        rci_ref,  # i32[WB, 3, L]: climit (=2^rs), kmax (=2^(rs-1)-1), n_valid
+        rcf_ref,  # f32[WB, 4, L]: c0, stepfloor, endval, (pad)
+        codes_ref,  # out i32[WB, SFFP, L]
+        sf_ref,  # out i32[WB, 1, L]
+        ranks_ref,  # out i32[WB, 2, L] (hi, lo)
         state_out_ref,  # out i32[9, S, L]
         h_s,  # scratch i32[4, S, L]
         w_s,  # scratch i32[4, S, L]
@@ -155,115 +157,121 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int):
         one = jnp.int32(1)
         u32_max = jnp.int32(-1)
 
-        w_idx = pl.program_id(0)
-
-        @pl.when(w_idx == 0)
+        @pl.when(pl.program_id(0) == 0)
         def _():
             h_s[:] = state_ref[0:4]
             w_s[:] = state_ref[4:8]
             p_s[:] = state_ref[8:9]
 
-        sfval = sfval_ref[0]  # [S, L] f32
-        recip = recip_ref[0]  # [S, L] i32
-        climit = rci_ref[0, 0:1, :]  # [1, L]
-        kmax = rci_ref[0, 1:2, :]
-        nv = rci_ref[0, 2:3, :]  # [1, L] (window frame count, broadcast)
-        c0 = rcf_ref[0, 0:1, :]  # [1, L] f32
-        stepfloor = rcf_ref[0, 1:2, :]
-        endval = rcf_ref[0, 2:3, :]
+        def window_body(wi, carry):
+            h0, h1, h2, h3, w0, w1, w2, w3, prev_sf = carry
+            smp_w = samples_ref[wi]  # [SFFP, L]
+            sfval = sfval_ref[wi]  # [S, L] f32
+            recip = recip_ref[wi]  # [S, L] i32
+            rci = rci_ref[wi]  # [3, L]
+            climit = rci[0:1, :]  # [1, L]
+            kmax = rci[1:2, :]
+            nv = rci[2:3, :]
+            rcf = rcf_ref[wi]
+            c0 = rcf[0:1, :]  # [1, L] f32
+            stepfloor = rcf[1:2, :]
+            endval = rcf[2:3, :]
 
-        h0, h1, h2, h3 = h_s[0], h_s[1], h_s[2], h_s[3]
-        w0, w1, w2, w3 = w_s[0], w_s[1], w_s[2], w_s[3]
-        prev_sf = p_s[0]
-        rank_hi = jnp.zeros((s, l), jnp.int32)
-        rank_lo = jnp.zeros((s, l), jnp.int32)
+            rank_hi = jnp.zeros((s, l), jnp.int32)
+            rank_lo = jnp.zeros((s, l), jnp.int32)
+            is_rs2 = climit == jnp.int32(4)
+            two_m = climit << one
 
-        is_rs2 = climit == jnp.int32(4)
-        two_m = climit << one
+            for t in range(sff):
+                smp = smp_w[t : t + 1, :]  # [1, L]
+                pred = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> jnp.int32(13)
+                residual = smp - pred
+                scaled = _sea_div(residual, recip)
+                clamped = jnp.minimum(jnp.maximum(scaled, -climit), climit)
+                # zig-zag quantization, closed form (qt.rs:8-31)
+                i = clamped + climit
+                q_desc = climit - one - ((jnp.maximum(i - one, zero) >> one) << one)
+                q_asc = ((i - climit) >> one) << one
+                q = jnp.where(
+                    i < climit, q_desc, jnp.where(i == two_m, climit - jnp.int32(2), q_asc)
+                )
+                q = jnp.where(is_rs2 & (i == jnp.int32(2)), one, q)
+                q = jnp.where(is_rs2 & (i == jnp.int32(6)), zero, q)
+                # dequantization in f32, exactly as the table build (dqt.rs:99-126)
+                k = q >> one
+                curve = jnp.float32(0.5) + k.astype(jnp.float32) * stepfloor
+                curve = jnp.where(k == kmax, endval, curve)
+                curve = jnp.where(k == zero, c0, curve)
+                dq_abs = jnp.floor(sfval * curve + jnp.float32(0.5)).astype(jnp.int32)
+                dq = jnp.where((q & one) == one, -dq_abs, dq_abs)
+                recon = jnp.minimum(jnp.maximum(pred + dq, i16_min), i16_max)
+                err = smp - recon
+                e_hi, e_lo = _err_sq_pair(err)
+                p_hi, p_lo = _weights_penalty_pair(w0, w1, w2, w3)
+                a_hi, a_lo = _pair_add(e_hi, e_lo, p_hi, p_lo)
+                n_hi, n_lo = _pair_add(rank_hi, rank_lo, a_hi, a_lo)
+                valid = jnp.int32(t) < nv  # [1, L] mask (broadcasts over S)
+                rank_hi = jnp.where(valid, n_hi, rank_hi)
+                rank_lo = jnp.where(valid, n_lo, rank_lo)
+                q_s[t] = q
+                # LMS update (lms.rs:43-51), frozen on invalid steps
+                delta = dq >> jnp.int32(4)
+                w0 = jnp.where(valid, w0 + jnp.where(h0 < 0, -delta, delta), w0)
+                w1 = jnp.where(valid, w1 + jnp.where(h1 < 0, -delta, delta), w1)
+                w2 = jnp.where(valid, w2 + jnp.where(h2 < 0, -delta, delta), w2)
+                w3 = jnp.where(valid, w3 + jnp.where(h3 < 0, -delta, delta), w3)
+                h0 = jnp.where(valid, h1, h0)
+                h1 = jnp.where(valid, h2, h1)
+                h2 = jnp.where(valid, h3, h2)
+                h3 = jnp.where(valid, recon, h3)
 
-        for t in range(sff):
-            smp = samples_ref[0, t : t + 1, :]  # [1, L]
-            pred = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> jnp.int32(13)
-            residual = smp - pred
-            scaled = _sea_div(residual, recip)
-            clamped = jnp.minimum(jnp.maximum(scaled, -climit), climit)
-            # zig-zag quantization, closed form (qt.rs:8-31)
-            i = clamped + climit
-            q_desc = climit - one - ((jnp.maximum(i - one, zero) >> one) << one)
-            q_asc = ((i - climit) >> one) << one
-            q = jnp.where(i < climit, q_desc, jnp.where(i == two_m, climit - jnp.int32(2), q_asc))
-            q = jnp.where(is_rs2 & (i == jnp.int32(2)), one, q)
-            q = jnp.where(is_rs2 & (i == jnp.int32(6)), zero, q)
-            # dequantization in f32, exactly as the table build (dqt.rs:99-126)
-            k = q >> one
-            curve = jnp.float32(0.5) + k.astype(jnp.float32) * stepfloor
-            curve = jnp.where(k == kmax, endval, curve)
-            curve = jnp.where(k == zero, c0, curve)
-            dq_abs = jnp.floor(sfval * curve + jnp.float32(0.5)).astype(jnp.int32)
-            dq = jnp.where((q & one) == one, -dq_abs, dq_abs)
-            recon = jnp.minimum(jnp.maximum(pred + dq, i16_min), i16_max)
-            err = smp - recon
-            e_hi, e_lo = _err_sq_pair(err)
-            p_hi, p_lo = _weights_penalty_pair(w0, w1, w2, w3)
-            a_hi, a_lo = _pair_add(e_hi, e_lo, p_hi, p_lo)
-            n_hi, n_lo = _pair_add(rank_hi, rank_lo, a_hi, a_lo)
-            valid = jnp.int32(t) < nv  # [1, L] mask (broadcasts over S)
-            rank_hi = jnp.where(valid, n_hi, rank_hi)
-            rank_lo = jnp.where(valid, n_lo, rank_lo)
-            q_s[t] = q
-            # LMS update (lms.rs:43-51), frozen on invalid steps
-            delta = dq >> jnp.int32(4)
-            w0 = jnp.where(valid, w0 + jnp.where(h0 < 0, -delta, delta), w0)
-            w1 = jnp.where(valid, w1 + jnp.where(h1 < 0, -delta, delta), w1)
-            w2 = jnp.where(valid, w2 + jnp.where(h2 < 0, -delta, delta), w2)
-            w3 = jnp.where(valid, w3 + jnp.where(h3 < 0, -delta, delta), w3)
-            h0 = jnp.where(valid, h1, h0)
-            h1 = jnp.where(valid, h2, h1)
-            h2 = jnp.where(valid, h3, h2)
-            h3 = jnp.where(valid, recon, h3)
+            # lexicographic argmin over (rank_hi, rank_lo, rotated index);
+            # first-minimum-in-rotated-order == the reference's
+            # strict-improvement loop from prev_sf (encoder_base.rs:116-140).
+            sub = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
+            rot = (sub - prev_sf) & jnp.int32(s - 1)
+            xhi = rank_hi ^ I32_SIGN  # unsigned-order compare via sign flip
+            min_hi = jnp.min(xhi, axis=0, keepdims=True)
+            m1 = xhi == min_hi
+            xlo = jnp.where(m1, rank_lo ^ I32_SIGN, u32_max ^ I32_SIGN)
+            min_lo = jnp.min(xlo, axis=0, keepdims=True)
+            m2 = m1 & (xlo == min_lo)
+            rot_m = jnp.where(m2, rot, jnp.int32(s))
+            min_rot = jnp.min(rot_m, axis=0, keepdims=True)
+            winner = m2 & (rot_m == min_rot)  # exactly one row per column
 
-        # lexicographic argmin over (rank_hi, rank_lo, rotated index);
-        # first-minimum-in-rotated-order == the reference's strict-improvement
-        # loop from prev_sf (encoder_base.rs:116-140).
-        sub = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
-        rot = (sub - prev_sf) & jnp.int32(s - 1)
-        xhi = rank_hi ^ I32_SIGN  # unsigned-order compare via sign flip
-        min_hi = jnp.min(xhi, axis=0, keepdims=True)
-        m1 = xhi == min_hi
-        xlo = jnp.where(m1, rank_lo ^ I32_SIGN, u32_max ^ I32_SIGN)
-        min_lo = jnp.min(xlo, axis=0, keepdims=True)
-        m2 = m1 & (xlo == min_lo)
-        rot_m = jnp.where(m2, rot, jnp.int32(s))
-        min_rot = jnp.min(rot_m, axis=0, keepdims=True)
-        winner = m2 & (rot_m == min_rot)  # exactly one row per column
+            def select(x):
+                return jnp.sum(
+                    jnp.where(winner, x, zero), axis=0, keepdims=True, dtype=jnp.int32
+                )
 
-        def select(x):
-            return jnp.sum(
-                jnp.where(winner, x, zero), axis=0, keepdims=True, dtype=jnp.int32
+            best_sf = select(sub)  # [1, L]
+            sf_ref[wi] = best_sf
+            ranks_ref[wi] = jnp.concatenate([select(rank_hi), select(rank_lo)], axis=0)
+            rows = [select(q_s[t]) for t in range(sff)]
+            rows += [jnp.zeros((1, l), jnp.int32)] * (sffp - sff)
+            codes_ref[wi] = jnp.concatenate(rows, axis=0)
+
+            # winning candidate's state broadcasts to all candidates for the
+            # next window (encoder_base.rs:112,119: every candidate restarts
+            # from the winner's LMS)
+            bc = lambda x: jnp.broadcast_to(x, (s, l))
+            return (
+                bc(select(h0)), bc(select(h1)), bc(select(h2)), bc(select(h3)),
+                bc(select(w0)), bc(select(w1)), bc(select(w2)), bc(select(w3)),
+                bc(best_sf),
             )
 
-        best_sf = select(sub)  # [1, L]
-        sf_ref[0] = best_sf
-        ranks_ref[0, 0:1, :] = select(rank_hi)
-        ranks_ref[0, 1:2, :] = select(rank_lo)
-        for t in range(sff):
-            codes_ref[0, t : t + 1, :] = select(q_s[t])
-        if sffp > sff:
-            for t in range(sff, sffp):
-                codes_ref[0, t : t + 1, :] = jnp.zeros((1, l), jnp.int32)
-
-        # winning candidate's state broadcasts to all candidates for the next
-        # window (encoder_base.rs:112,119: every candidate restarts from the
-        # winner's LMS)
-        h_s[0] = jnp.broadcast_to(select(h0), (s, l))
-        h_s[1] = jnp.broadcast_to(select(h1), (s, l))
-        h_s[2] = jnp.broadcast_to(select(h2), (s, l))
-        h_s[3] = jnp.broadcast_to(select(h3), (s, l))
-        w_s[0] = jnp.broadcast_to(select(w0), (s, l))
-        w_s[1] = jnp.broadcast_to(select(w1), (s, l))
-        w_s[2] = jnp.broadcast_to(select(w2), (s, l))
-        w_s[3] = jnp.broadcast_to(select(w3), (s, l))
-        p_s[0] = jnp.broadcast_to(best_sf, (s, l))
+        carry0 = (
+            h_s[0], h_s[1], h_s[2], h_s[3],
+            w_s[0], w_s[1], w_s[2], w_s[3],
+            p_s[0],
+        )
+        carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(wb), window_body, carry0)
+        for i in range(4):
+            h_s[i] = carry[i]
+            w_s[i] = carry[4 + i]
+        p_s[0] = carry[8]
 
         state_out_ref[0:4] = h_s[:]
         state_out_ref[4:8] = w_s[:]
@@ -347,35 +355,48 @@ def encode_windows_pallas_fn(
     smp = jnp.zeros((wc, sffp, l), jnp.int32)
     smp = smp.at[:, :sff, :c].set(samples.reshape(wc, sff, c))
 
+    # pad the window count to a multiple of the window block; padding windows
+    # have n_valid == 0 and leave all state untouched
+    wb = min(32, -(-wc // 8) * 8)
+    wp = -(-wc // wb) * wb
+    if wp != wc:
+        pad = wp - wc
+        smp = jnp.pad(smp, ((0, pad), (0, 0), (0, 0)))
+        sfval = jnp.pad(sfval, ((0, pad), (0, 0), (0, 0)))
+        recip = jnp.pad(recip, ((0, pad), (0, 0), (0, 0)), constant_values=1)
+        rci = jnp.pad(rci, ((0, pad), (0, 0), (0, 0)), constant_values=0)
+        rci = rci.at[wc:, 0, :].set(2)  # climit: any valid value
+        rcf = jnp.pad(rcf, ((0, pad), (0, 0), (0, 0)))
+
     state = jnp.zeros((9, s, l), jnp.int32)
     state = state.at[0:4, :, :c].set(jnp.broadcast_to(hist0.T[:, None, :], (4, s, c)))
     state = state.at[4:8, :, :c].set(jnp.broadcast_to(wts0.T[:, None, :], (4, s, c)))
     state = state.at[8, :, :c].set(jnp.broadcast_to(prev_sf0[None, :], (s, c)))
 
-    kernel = _make_kernel(s, l, sff, sffp)
+    kernel = _make_kernel(s, l, sff, sffp, wb)
     zi = lambda w: w * 0
     out_shapes = (
-        jax.ShapeDtypeStruct((wc, sffp, l), jnp.int32),  # codes
-        jax.ShapeDtypeStruct((wc, 1, l), jnp.int32),  # sf
-        jax.ShapeDtypeStruct((wc, 2, l), jnp.int32),  # ranks (hi, lo)
+        jax.ShapeDtypeStruct((wp, sffp, l), jnp.int32),  # codes
+        jax.ShapeDtypeStruct((wp, 1, l), jnp.int32),  # sf
+        jax.ShapeDtypeStruct((wp, 2, l), jnp.int32),  # ranks (hi, lo)
         jax.ShapeDtypeStruct((9, s, l), jnp.int32),  # state out
     )
     codes, sf, ranks, state_out = pl.pallas_call(
         kernel,
-        grid=(wc,),
+        grid=(wp // wb,),
         out_shape=out_shapes,
         in_specs=[
             pl.BlockSpec((9, s, l), lambda w: (zi(w), zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sffp, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, sffp, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, 3, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, 4, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, sffp, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, sffp, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, 1, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, 2, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, s, l), lambda w: (zi(w), zi(w), zi(w)), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -387,10 +408,10 @@ def encode_windows_pallas_fn(
         interpret=interpret,
     )(state, smp, sfval, recip, rci, rcf)
 
-    sf_out = sf[:, 0, :c].astype(jnp.uint8)  # [W, C]
-    codes_out = codes[:, :sff, :c].reshape(wc * sff, c).astype(jnp.uint8)
-    hi = ranks[:, 0, :c].astype(jnp.uint32).astype(jnp.uint64)
-    lo = ranks[:, 1, :c].astype(jnp.uint32).astype(jnp.uint64)
+    sf_out = sf[:wc, 0, :c].astype(jnp.uint8)  # [W, C]
+    codes_out = codes[:wc, :sff, :c].reshape(wc * sff, c).astype(jnp.uint8)
+    hi = ranks[:wc, 0, :c].astype(jnp.uint32).astype(jnp.uint64)
+    lo = ranks[:wc, 1, :c].astype(jnp.uint32).astype(jnp.uint64)
     ranks_out = (hi << jnp.uint64(32)) | lo  # [W, C]
     hist = state_out[0:4, 0, :c].T  # [C, 4] (all candidate rows equal)
     wts = state_out[4:8, 0, :c].T
