@@ -49,7 +49,8 @@ def main() -> None:
     log(f"device: {dev} ({dev.platform})")
 
     channels = 2
-    n_chunks = 256
+    n_chunks = 256  # encoded corpus; decode measures on a tiled multiple
+    decode_mult = 8  # 2048 chunks / 21M samples per decode call
     fpc = 5120
     frames = n_chunks * fpc
     settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=fpc)
@@ -84,16 +85,19 @@ def main() -> None:
     e2e_msps = n_samples / t_dec / 1e6
     log(f"decode end-to-end (incl. tunnel PCM fetch): {t_dec * 1e3:.1f} ms = {e2e_msps:.1f} Msamples/s")
 
-    # ---- device decode (headline): execution forced by a tiny probe ----
+    # ---- device decode (headline): execution forced by a tiny probe.
+    # The chunk batch is tiled to amortize the relay's per-call latency over
+    # a corpus-sized batch (every chunk still decodes independently).
     header, rect, _tail = split_chunks(encoded)
     batch = parse_full_chunks(rect, header)
     dqt_flat = jnp.asarray(
         tables.dqt_stacked(batch.scale_factor_bits).reshape(-1), jnp.int32
     )
     args = tuple(
-        jnp.asarray(a)
+        jnp.asarray(np.tile(a, (decode_mult,) + (1,) * (a.ndim - 1)))
         for a in (batch.res_bytes, batch.sf, batch.rs, batch.hist, batch.wts)
     )
+    n_dec_samples = n_samples * decode_mult
     use_pallas = default_use_pallas()
 
     def dev_decode():
@@ -114,7 +118,7 @@ def main() -> None:
         _ = np.asarray(dev_decode()[0, 0, 0])  # tiny probe forces execution
         ts.append(time.perf_counter() - t0)
     t_dev = min(ts)
-    dev_msps = n_samples / t_dev / 1e6
+    dev_msps = n_dec_samples / t_dev / 1e6
     log(
         f"decode device (pallas={use_pallas}): {t_dev * 1e3:.1f} ms = {dev_msps:.1f} Msamples/s"
     )
@@ -131,7 +135,7 @@ def main() -> None:
                 "encode_Msps": round(enc_msps, 2),
                 "compression_ratio": round(ratio, 2),
                 "psnr_db": round(psnr, 1),
-                "n_samples": n_samples,
+                "n_samples": n_samples, "n_decode_samples": n_dec_samples,
                 "pallas": bool(use_pallas),
                 "platform": dev.platform,
             }

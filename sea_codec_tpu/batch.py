@@ -195,6 +195,53 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
     )
 
 
+def serialize_full_chunks(
+    sf: np.ndarray,  # uint8[nc, w, C]
+    codes: np.ndarray,  # uint8[nc, fpc, C]
+    sizes: np.ndarray | None,  # uint8[nc, w, C] absolute VBR sizes, or None
+    ehist: np.ndarray,  # int32[nc, C, 4]
+    ewts: np.ndarray,  # int32[nc, C, 4]
+    scale_factor_bits: int,
+    scale_factor_frames: int,
+    residual_size: int,
+) -> np.ndarray:
+    """Vectorized serialization of full chunks -> uint8[nc, chunk_size].
+
+    All full chunks share section lengths (for VBR too: the distribution
+    counts are static per full chunk, so the residual bit total is constant),
+    making the whole container body one rectangular pack.
+    """
+    nc, w, c = sf.shape
+    fpc = codes.shape[1]
+    sff = scale_factor_frames
+    head = np.tile(
+        np.array(
+            [
+                CHUNK_TYPE_VBR if sizes is not None else CHUNK_TYPE_CBR,
+                ((scale_factor_bits << 4) | residual_size) & 0xFF,
+                sff,
+                0x5A,
+            ],
+            dtype=np.uint8,
+        ),
+        (nc, 1),
+    )
+    lms = np.concatenate([ehist, ewts], axis=2).astype(np.int16)  # [nc, C, 8]
+    lms_bytes = lms.astype("<i2").reshape(nc, -1).view(np.uint8)
+    sf_packed = bitpack.pack_bits_rows(sf.reshape(nc, w * c), scale_factor_bits)
+    parts = [head, lms_bytes, sf_packed]
+    if sizes is not None:
+        rel = sizes.astype(np.int32) - residual_size + 1
+        parts.append(bitpack.pack_bits_rows(rel.reshape(nc, w * c), 2))
+        widths = np.repeat(sizes.astype(np.int64), sff, axis=1)[:, :fpc]
+        parts.append(
+            bitpack.pack_bits_rows(codes.reshape(nc, fpc * c), widths.reshape(nc, fpc * c))
+        )
+    else:
+        parts.append(bitpack.pack_bits_rows(codes.reshape(nc, fpc * c), residual_size))
+    return np.hstack(parts)
+
+
 def encode_sea(
     samples: np.ndarray,
     sample_rate: int,
@@ -206,7 +253,7 @@ def encode_sea(
     the session encoder / one-shot API."""
     import jax.numpy as jnp
 
-    from .encoder import EncoderSettings, SeaEncoder
+    from .encoder import EncoderSettings
     from .models.vbr import interpolate_distribution, normalized_vbr_bitrate
     from .ops import lms as lms_ops
     from .ops.device_decode import default_use_pallas
@@ -261,7 +308,7 @@ def encode_sea(
                 dist=(m1, p1, p2),
                 use_pallas=use_pallas,
             )
-            sizes = np.asarray(sizes)
+            sizes_j = sizes
         else:
             sf, codes, ehist, ewts, hist_j, wts_j, prev_j = encode_file_cbr(
                 jnp.asarray(x),
@@ -273,29 +320,29 @@ def encode_sea(
                 residual_size=residual_size,
                 use_pallas=use_pallas,
             )
-            sizes = None
-        sf = np.asarray(sf)
-        codes = np.asarray(codes)
-        ehist = np.asarray(ehist)
-        ewts = np.asarray(ewts)
-        hist, wts, prev = np.asarray(hist_j), np.asarray(wts_j), np.asarray(prev_j)
-        for k in range(nc_full):
-            chunk = SeaChunk(
-                channels=c,
-                frames_in_chunk=fpc,
-                chunk_type=CHUNK_TYPE_VBR if settings.vbr else CHUNK_TYPE_CBR,
-                scale_factor_bits=sfb,
-                scale_factor_frames=sff,
-                residual_size=residual_size,
-                lms_history=ehist[k],
-                lms_weights=ewts[k],
-                scale_factors=sf[k].reshape(-1),
-                vbr_residual_sizes=(
-                    sizes[k].reshape(-1) if sizes is not None else np.zeros(0, np.uint8)
-                ),
-                residuals=codes[k].reshape(-1),
-            )
-            chunks.append(chunk.serialize())
+            sizes_j = None
+        # one bundled device->host transfer (the relay link pays per-call
+        # latency; separate fetches would each cost an RPC round trip)
+        import jax
+
+        fetched = jax.device_get(
+            (sf, codes, ehist, ewts, hist_j, wts_j, prev_j)
+            + ((sizes_j,) if sizes_j is not None else ())
+        )
+        sf, codes, ehist, ewts, hist, wts, prev = fetched[:7]
+        sizes = fetched[7] if sizes_j is not None else None
+        w = -(-fpc // sff)
+        rect = serialize_full_chunks(
+            sf.reshape(nc_full, w, c),
+            codes.reshape(nc_full, fpc, c),
+            sizes.reshape(nc_full, w, c) if sizes is not None else None,
+            ehist,
+            ewts,
+            scale_factor_bits=sfb,
+            scale_factor_frames=sff,
+            residual_size=residual_size,
+        )
+        chunks.extend(bytes(row) for row in rect)
 
     # ragged tail chunk via the per-chunk model path, seeded with the carried
     # state (bit-identical to the session's final encode_frame)
@@ -335,6 +382,133 @@ def encode_sea(
     if chunks:
         header.chunk_size = len(chunks[0])
     return header.serialize() + b"".join(chunks)
+
+
+def encode_corpus(
+    files: list[np.ndarray],
+    sample_rate: int,
+    channels: int,
+    settings=None,
+) -> list[bytes]:
+    """Encode many files at once by packing their channel streams into the
+    encoder kernel's 128 lanes (each stream keeps its own LMS carry and
+    per-window length mask). All files share ``channels`` and ``settings``.
+
+    CBR only takes the fused path; VBR (whose per-chunk size selection
+    depends on per-file sortable counts) falls back to per-file encoding.
+    Outputs are byte-identical to per-file ``encode_sea``.
+    """
+    from .encoder import EncoderSettings
+
+    if settings is None:
+        settings = EncoderSettings()
+    from .ops.device_decode import default_use_pallas
+
+    if settings.vbr or not default_use_pallas() or channels > 64:
+        return [encode_sea(f, sample_rate, channels, settings) for f in files]
+
+    import jax
+    from .ops import lms as lms_ops
+    from .ops.encode_file import encode_corpus_cbr
+    from .ops.pallas_encode import prepare_n_valid
+
+    c = channels
+    fpc = settings.frames_per_chunk
+    sff = settings.scale_factor_frames
+    sfb = settings.scale_factor_bits
+    w = fpc // sff
+    residual_size = int(np.floor(settings.residual_bits))
+    group_size = 128 // c
+
+    results: list[bytes] = [b""] * len(files)
+    order = list(range(len(files)))
+    for g0 in range(0, len(files), group_size):
+        idxs = order[g0 : g0 + group_size]
+        group = [np.asarray(files[i], dtype=np.int16) for i in idxs]
+        frames = [f.shape[0] // c for f in group]
+        nc_max = max(-(-fr // fpc) for fr in frames)
+        b = len(group) * c
+
+        x = np.zeros((nc_max, fpc, b), np.int32)
+        nv = np.zeros((nc_max, w, b), np.int32)
+        for j, (f, fr) in enumerate(zip(group, frames)):
+            lanes = slice(j * c, (j + 1) * c)
+            arr = f[: fr * c].astype(np.int32).reshape(fr, c)
+            for k in range(-(-fr // fpc)):
+                fk = min(fpc, fr - k * fpc)
+                x[k, :fk, lanes] = arr[k * fpc : k * fpc + fk]
+                nv[k, :, lanes] = np.clip(
+                    fk - np.arange(w)[:, None] * sff, 0, sff
+                )
+
+        # prepare per-chunk nv stacks in the kernel's [WP, 1, 128] layout
+        nv_p = np.stack(
+            [np.asarray(prepare_n_valid(jnp.asarray(nv[k]), _wp(w), b)) for k in range(nc_max)]
+        )
+        sf, codes, ehist, ewts = encode_corpus_cbr(
+            jnp.asarray(x),
+            jnp.asarray(nv_p),
+            jnp.asarray(np.tile(lms_ops.initial_history(c), (len(group), 1))),
+            jnp.asarray(np.tile(lms_ops.initial_weights(c), (len(group), 1))),
+            jnp.zeros(b, jnp.int32),
+            scale_factor_frames=sff,
+            scale_factor_bits=sfb,
+            residual_size=residual_size,
+        )
+        sf, codes, ehist, ewts = jax.device_get((sf, codes, ehist, ewts))
+
+        for j, (i, fr) in enumerate(zip(idxs, frames)):
+            lanes = slice(j * c, (j + 1) * c)
+            header = SeaFileHeader(
+                version=1,
+                channels=c,
+                chunk_size=0,
+                frames_per_chunk=fpc,
+                sample_rate=sample_rate,
+                total_frames=fr,
+                metadata=settings.metadata,
+            )
+            chunks = []
+            nc_f = -(-fr // fpc)
+            nc_f_full = fr // fpc
+            if nc_f_full:
+                rect = serialize_full_chunks(
+                    sf[:nc_f_full, :, lanes],
+                    codes[:nc_f_full, :, lanes],
+                    None,
+                    ehist[:nc_f_full, lanes],
+                    ewts[:nc_f_full, lanes],
+                    scale_factor_bits=sfb,
+                    scale_factor_frames=sff,
+                    residual_size=residual_size,
+                )
+                chunks.extend(bytes(row) for row in rect)
+            if nc_f > nc_f_full:  # ragged tail chunk
+                k = nc_f_full
+                fk = fr - k * fpc
+                w_real = -(-fk // sff)
+                chunk = SeaChunk(
+                    channels=c,
+                    frames_in_chunk=fk,
+                    chunk_type=CHUNK_TYPE_CBR,
+                    scale_factor_bits=sfb,
+                    scale_factor_frames=sff,
+                    residual_size=residual_size,
+                    lms_history=ehist[k, lanes],
+                    lms_weights=ewts[k, lanes],
+                    scale_factors=sf[k, :w_real, lanes].reshape(-1),
+                    residuals=codes[k, :fk, lanes].reshape(-1),
+                )
+                chunks.append(chunk.serialize())
+            if chunks:
+                header.chunk_size = len(chunks[0])
+            results[i] = header.serialize() + b"".join(chunks)
+    return results
+
+
+def _wp(w: int) -> int:
+    wb = min(32, -(-w // 8) * 8)
+    return -(-w // wb) * wb
 
 
 def decode_range(encoded: bytes, start_frame: int, n_frames: int) -> np.ndarray:

@@ -20,7 +20,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import tables
 from .device_encode import encode_windows_fn
@@ -75,9 +74,41 @@ def encode_file_cbr(
     nc, fpc, c = samples.shape
     sff = scale_factor_frames
     w = fpc // sff
-    run = _window_kernel(use_pallas, sff, scale_factor_bits)
     rs = jnp.full((w, c), residual_size, jnp.int32)
     nv = jnp.full((w,), sff, jnp.int32)
+
+    if use_pallas:
+        from .pallas_encode import (
+            pack_state,
+            prepare_n_valid,
+            prepare_window_streams,
+            run_window_search,
+        )
+
+        s = 1 << scale_factor_bits
+        # CBR streams are identical for every chunk: hoist out of the scan.
+        streams, wb, wp = prepare_window_streams(rs, sff, scale_factor_bits, c)
+        nv_p = prepare_n_valid(nv, wp, c)
+        state0 = pack_state(hist0, wts0, prev0, s, c)
+
+        def body(state, smp):
+            codes_p, sf_p, _ranks_p, state_out = run_window_search(
+                state, smp.reshape(fpc, c), nv_p, streams, wb, wp,
+                sff, scale_factor_bits, c,
+            )
+            sf = sf_p[:w, 0, :c].astype(jnp.uint8)
+            codes = codes_p[:w, :sff, :c].reshape(fpc, c).astype(jnp.uint8)
+            ehist = state[0:4, 0, :c].T
+            ewts = state[4:8, 0, :c].T
+            return state_out, (sf, codes, ehist, ewts)
+
+        state, (sf, codes, ehist, ewts) = jax.lax.scan(body, state0, samples)
+        hist = state[0:4, 0, :c].T
+        wts = state[4:8, 0, :c].T
+        prev = state[8, 0, :c].astype(jnp.int32)
+        return sf, codes, ehist, ewts, hist, wts, prev
+
+    run = _window_kernel(False, sff, scale_factor_bits)
 
     def body(carry, smp):
         hist, wts, prev = carry
@@ -88,6 +119,55 @@ def encode_file_cbr(
         body, (hist0, wts0, prev0), samples
     )
     return sf, codes, ehist, ewts, hist, wts, prev
+
+
+@partial(
+    jax.jit,
+    static_argnames=("scale_factor_frames", "scale_factor_bits", "residual_size"),
+)
+def encode_corpus_cbr(
+    samples: jnp.ndarray,  # int32[nc, fpc, B] -- B lanes = files x channels
+    nv_all: jnp.ndarray,  # int32[nc, WP, 1, 128] per-chunk per-window per-lane
+    hist0: jnp.ndarray,  # int32[B, 4]
+    wts0: jnp.ndarray,
+    prev0: jnp.ndarray,  # int32[B]
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    residual_size: int,
+):
+    """Corpus CBR encode: many independent streams packed into the kernel's
+    128 lanes (each lane = one channel of one file, with its own LMS carry
+    and its own per-window valid-length mask). TPU/Pallas only."""
+    from .pallas_encode import (
+        pack_state,
+        prepare_n_valid,
+        prepare_window_streams,
+        run_window_search,
+    )
+
+    nc, fpc, b = samples.shape
+    sff = scale_factor_frames
+    w = fpc // sff
+    s = 1 << scale_factor_bits
+    rs = jnp.full((w, b), residual_size, jnp.int32)
+    streams, wb, wp = prepare_window_streams(rs, sff, scale_factor_bits, b)
+    assert nv_all.shape[1] == wp
+    state0 = pack_state(hist0, wts0, prev0, s, b)
+
+    def body(state, xs):
+        smp, nvk = xs
+        codes_p, sf_p, _ranks, state_out = run_window_search(
+            state, smp.reshape(fpc, b), nvk, streams, wb, wp,
+            sff, scale_factor_bits, b,
+        )
+        sf = sf_p[:w, 0, :b].astype(jnp.uint8)
+        codes = codes_p[:w, :sff, :b].reshape(fpc, b).astype(jnp.uint8)
+        ehist = state[0:4, 0, :b].T
+        ewts = state[4:8, 0, :b].T
+        return state_out, (sf, codes, ehist, ewts)
+
+    state, (sf, codes, ehist, ewts) = jax.lax.scan(body, state0, (samples, nv_all))
+    return sf, codes, ehist, ewts
 
 
 @partial(

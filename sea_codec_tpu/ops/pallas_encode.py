@@ -35,7 +35,7 @@ scratch across windows (the only cross-window state,
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -138,9 +138,10 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int):
     def kernel(
         state_ref,  # i32[9, S, L]: h0..3, w0..3, prev_sf (broadcast over S)
         samples_ref,  # i32[WB, SFFP, L]
+        nv_ref,  # i32[WB, 1, L]: per-window per-lane valid frame count
         sfval_ref,  # f32[WB, S, L] scale-factor values
         recip_ref,  # i32[WB, S, L] reciprocals
-        rci_ref,  # i32[WB, 3, L]: climit (=2^rs), kmax (=2^(rs-1)-1), n_valid
+        rci_ref,  # i32[WB, 2, L]: climit (=2^rs), kmax (=2^(rs-1)-1)
         rcf_ref,  # f32[WB, 4, L]: c0, stepfloor, endval, (pad)
         codes_ref,  # out i32[WB, SFFP, L]
         sf_ref,  # out i32[WB, 1, L]
@@ -168,10 +169,10 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int):
             smp_w = samples_ref[wi]  # [SFFP, L]
             sfval = sfval_ref[wi]  # [S, L] f32
             recip = recip_ref[wi]  # [S, L] i32
-            rci = rci_ref[wi]  # [3, L]
+            rci = rci_ref[wi]  # [2, L]
             climit = rci[0:1, :]  # [1, L]
             kmax = rci[1:2, :]
-            nv = rci[2:3, :]
+            nv = nv_ref[wi]  # [1, L]
             rcf = rcf_ref[wi]
             c0 = rcf[0:1, :]  # [1, L] f32
             stepfloor = rcf[1:2, :]
@@ -307,41 +308,30 @@ def _rs_constants(scale_factor_bits: int):
     return sfval, recip, c0, stepfloor, endval, kmax, climit
 
 
-def encode_windows_pallas_fn(
-    samples: jnp.ndarray,  # int32[W * sff, C]
+def prepare_window_streams(
     rs: jnp.ndarray,  # int32[W, C]
-    n_valid: jnp.ndarray,  # int32[W]
-    hist0: jnp.ndarray,  # int32[C, 4]
-    wts0: jnp.ndarray,  # int32[C, 4]
-    prev_sf0: jnp.ndarray,  # int32[C]
     scale_factor_frames: int,
     scale_factor_bits: int,
-    interpret: bool = False,
+    c: int,
 ):
-    """Drop-in replacement for ops.device_encode.encode_windows_fn (same
-    returns) running the window search as a Pallas kernel."""
-    sff = scale_factor_frames
-    s = 1 << scale_factor_bits
-    wc = rs.shape[0]
-    c = samples.shape[1]
-    l = 128  # lane width; C channels occupy the first lanes
-    assert c <= l, "more than 128 channels per kernel lane block not supported yet"
-    sffp = -(-sff // 8) * 8
+    """Per-window per-lane constant streams for the search kernel.
 
+    Hoistable: for CBR these are identical for every chunk of a file, so the
+    whole-file encoder computes them once outside its chunk scan.
+    """
+    sff = scale_factor_frames
+    l = 128
+    wc = rs.shape[0]
     sfval_t, recip_t, c0_t, stepfloor_t, endval_t, kmax_t, climit_t = _rs_constants(
         scale_factor_bits
     )
-
-    # per-window streams, [W, ..., L]
     rs_l = jnp.zeros((wc, l), jnp.int32).at[:, :c].set(rs)
     rs_l = jnp.maximum(rs_l, 1)  # padding lanes: any valid rs
-    sfval = jnp.asarray(sfval_t)[rs_l]  # [W, L, S]
-    sfval = jnp.moveaxis(sfval, -1, 1)  # [W, S, L]
+    sfval = jnp.moveaxis(jnp.asarray(sfval_t)[rs_l], -1, 1)  # [W, S, L]
     recip = jnp.moveaxis(jnp.asarray(recip_t)[rs_l], -1, 1)
-    nv_l = jnp.broadcast_to(n_valid.reshape(wc, 1).astype(jnp.int32), (wc, l))
     rci = jnp.stack(
-        [jnp.asarray(climit_t)[rs_l], jnp.asarray(kmax_t)[rs_l], nv_l], axis=1
-    )  # [W, 3, L]
+        [jnp.asarray(climit_t)[rs_l], jnp.asarray(kmax_t)[rs_l]], axis=1
+    )  # [W, 2, L]
     rcf = jnp.stack(
         [
             jnp.asarray(c0_t)[rs_l],
@@ -352,26 +342,67 @@ def encode_windows_pallas_fn(
         axis=1,
     )  # [W, 4, L]
 
-    smp = jnp.zeros((wc, sffp, l), jnp.int32)
-    smp = smp.at[:, :sff, :c].set(samples.reshape(wc, sff, c))
-
     # pad the window count to a multiple of the window block; padding windows
     # have n_valid == 0 and leave all state untouched
     wb = min(32, -(-wc // 8) * 8)
     wp = -(-wc // wb) * wb
     if wp != wc:
         pad = wp - wc
-        smp = jnp.pad(smp, ((0, pad), (0, 0), (0, 0)))
         sfval = jnp.pad(sfval, ((0, pad), (0, 0), (0, 0)))
         recip = jnp.pad(recip, ((0, pad), (0, 0), (0, 0)), constant_values=1)
         rci = jnp.pad(rci, ((0, pad), (0, 0), (0, 0)), constant_values=0)
         rci = rci.at[wc:, 0, :].set(2)  # climit: any valid value
         rcf = jnp.pad(rcf, ((0, pad), (0, 0), (0, 0)))
+    return (sfval, recip, rci, rcf), wb, wp
 
+
+def prepare_n_valid(
+    n_valid: jnp.ndarray,  # int32[W] or int32[W, C] per-lane window lengths
+    wp: int,
+    c: int,
+):
+    """[WP, 1, L] per-window per-lane valid frame counts (padding: 0)."""
+    l = 128
+    nv = n_valid.astype(jnp.int32)
+    wc = nv.shape[0]
+    if nv.ndim == 1:
+        nv_l = jnp.broadcast_to(nv.reshape(wc, 1), (wc, l))
+    else:
+        nv_l = jnp.zeros((wc, l), jnp.int32).at[:, :c].set(nv)
+    out = jnp.zeros((wp, 1, l), jnp.int32)
+    return out.at[:wc, 0, :].set(nv_l)
+
+
+def pack_state(hist0, wts0, prev_sf0, s: int, c: int, l: int = 128):
     state = jnp.zeros((9, s, l), jnp.int32)
     state = state.at[0:4, :, :c].set(jnp.broadcast_to(hist0.T[:, None, :], (4, s, c)))
     state = state.at[4:8, :, :c].set(jnp.broadcast_to(wts0.T[:, None, :], (4, s, c)))
     state = state.at[8, :, :c].set(jnp.broadcast_to(prev_sf0[None, :], (s, c)))
+    return state
+
+
+def run_window_search(
+    state: jnp.ndarray,  # int32[9, S, L] (pack_state)
+    samples: jnp.ndarray,  # int32[W * sff, C]
+    nv: jnp.ndarray,  # int32[WP, 1, L] (prepare_n_valid)
+    streams,  # from prepare_window_streams
+    wb: int,
+    wp: int,
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    c: int,
+    interpret: bool = False,
+):
+    """Raw kernel invocation; returns (codes, sf, ranks, state_out) padded."""
+    sff = scale_factor_frames
+    s = 1 << scale_factor_bits
+    l = 128
+    sffp = -(-sff // 8) * 8
+    sfval, recip, rci, rcf = streams
+    wc = samples.shape[0] // sff
+
+    smp = jnp.zeros((wp, sffp, l), jnp.int32)
+    smp = smp.at[:wc, :sff, :c].set(samples.reshape(wc, sff, c))
 
     kernel = _make_kernel(s, l, sff, sffp, wb)
     zi = lambda w: w * 0
@@ -388,9 +419,10 @@ def encode_windows_pallas_fn(
         in_specs=[
             pl.BlockSpec((9, s, l), lambda w: (zi(w), zi(w), zi(w)), memory_space=pltpu.VMEM),
             pl.BlockSpec((wb, sffp, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, 1, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
             pl.BlockSpec((wb, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
             pl.BlockSpec((wb, s, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, 3, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, 2, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
             pl.BlockSpec((wb, 4, l), lambda w: (w, zi(w), zi(w)), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -406,8 +438,11 @@ def encode_windows_pallas_fn(
             pltpu.VMEM((sffp, s, l), jnp.int32),
         ],
         interpret=interpret,
-    )(state, smp, sfval, recip, rci, rcf)
+    )(state, smp, nv, sfval, recip, rci, rcf)
+    return codes, sf, ranks, state_out
 
+
+def unpack_outputs(codes, sf, ranks, state_out, wc: int, sff: int, c: int):
     sf_out = sf[:wc, 0, :c].astype(jnp.uint8)  # [W, C]
     codes_out = codes[:wc, :sff, :c].reshape(wc * sff, c).astype(jnp.uint8)
     hi = ranks[:wc, 0, :c].astype(jnp.uint32).astype(jnp.uint64)
@@ -417,6 +452,35 @@ def encode_windows_pallas_fn(
     wts = state_out[4:8, 0, :c].T
     prev_sf = state_out[8, 0, :c].astype(jnp.int32)
     return sf_out, codes_out, ranks_out, hist, wts, prev_sf
+
+
+def encode_windows_pallas_fn(
+    samples: jnp.ndarray,  # int32[W * sff, C]
+    rs: jnp.ndarray,  # int32[W, C]
+    n_valid: jnp.ndarray,  # int32[W]
+    hist0: jnp.ndarray,  # int32[C, 4]
+    wts0: jnp.ndarray,  # int32[C, 4]
+    prev_sf0: jnp.ndarray,  # int32[C]
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ops.device_encode.encode_windows_fn (same
+    returns) running the window search as a Pallas kernel."""
+    s = 1 << scale_factor_bits
+    wc = rs.shape[0]
+    c = samples.shape[1]
+    assert c <= 128, "more than 128 channels per kernel lane block not supported yet"
+    streams, wb, wp = prepare_window_streams(
+        rs, scale_factor_frames, scale_factor_bits, c
+    )
+    nv = prepare_n_valid(n_valid, wp, c)
+    state = pack_state(hist0, wts0, prev_sf0, s, c)
+    codes, sf, ranks, state_out = run_window_search(
+        state, samples, nv, streams, wb, wp,
+        scale_factor_frames, scale_factor_bits, c, interpret,
+    )
+    return unpack_outputs(codes, sf, ranks, state_out, wc, scale_factor_frames, c)
 
 
 encode_windows_pallas = jax.jit(

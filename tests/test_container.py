@@ -5,7 +5,7 @@ import io
 import numpy as np
 import pytest
 
-from sea_codec_tpu import EncoderSettings, SeaDecoder, sea_decode, sea_encode
+from sea_codec_tpu import EncoderSettings, sea_decode, sea_encode
 from sea_codec_tpu.container import SeaChunk, SeaFileHeader
 from sea_codec_tpu.models import DecoderModel
 from sea_codec_tpu.utils.errors import SeaError, SeaInvalidFile

@@ -1,6 +1,5 @@
 """End-to-end round-trip tests (modeled on reference tests/test.rs)."""
 
-import numpy as np
 import pytest
 
 from sea_codec_tpu import EncoderSettings, sea_decode, sea_encode
