@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--vbr", action="store_true", help="Enables Variable Bit Rate (VBR)")
     p.add_argument("--metadata", action="append", default=[], metavar="KEY=VALUE", help="Embed a metadata key=value pair (repeatable)")
     p.add_argument("--stats", action="store_true", help="Print encode/decode statistics")
+    p.add_argument("--backend", choices=["auto", "jax", "native"], default="auto", help="Codec backend: JAX/TPU pipeline or the native C++ host codec")
     return p
 
 
@@ -104,7 +105,6 @@ def main(argv: list[str] | None = None) -> int:
     import numpy as np
 
     if (in_ext, out_ext) == ("wav", "sea"):
-        from .batch import encode_sea
         from .utils.wav import read_wav
 
         try:
@@ -112,7 +112,21 @@ def main(argv: list[str] | None = None) -> int:
         except (OSError, ValueError):
             _die("Failed to decode .wav file")
         t0 = time.perf_counter()
-        encoded = encode_sea(wave.samples, wave.sample_rate, wave.channels, settings)
+        if args.backend == "native":
+            from .native import native_encode
+
+            encoded = native_encode(
+                wave.samples, wave.sample_rate, wave.channels,
+                scale_factor_bits=settings.scale_factor_bits,
+                scale_factor_frames=settings.scale_factor_frames,
+                residual_bits=settings.residual_bits,
+                frames_per_chunk=settings.frames_per_chunk,
+                vbr=settings.vbr, metadata=settings.metadata,
+            )
+        else:
+            from .batch import encode_sea
+
+            encoded = encode_sea(wave.samples, wave.sample_rate, wave.channels, settings)
         elapsed = time.perf_counter() - t0
         try:
             with open(args.output, "wb") as f:
@@ -141,14 +155,23 @@ def main(argv: list[str] | None = None) -> int:
         except OSError:
             _die("Failed to open input file")
         t0 = time.perf_counter()
-        try:
-            info = decode_sea(data)
-        except SeaError:
-            _die("Failed to decode frame")
+        if args.backend == "native":
+            from .native import native_decode
+
+            try:
+                out_samples, rate, chans = native_decode(data)
+            except ValueError:
+                _die("Failed to decode frame")
+            samples, channels_, rate_ = out_samples, chans, rate
+        else:
+            try:
+                info = decode_sea(data)
+            except SeaError:
+                _die("Failed to decode frame")
+            samples, channels_, rate_ = np.asarray(info.samples), info.channels, info.sample_rate
         elapsed = time.perf_counter() - t0
         header = SeaFileHeader.from_reader(io.BytesIO(data))
-        samples = np.asarray(info.samples)
-        write_wav(samples, info.channels, info.sample_rate, args.output)
+        write_wav(samples, channels_, rate_, args.output)
         if args.stats:
             n = samples.shape[0]
             print(

@@ -157,7 +157,7 @@ def encode_corpus_cbr(
     def body(state, xs):
         smp, nvk = xs
         codes_p, sf_p, _ranks, state_out = run_window_search(
-            state, smp.reshape(fpc, b), nvk, streams, wb, wp,
+            state, smp.reshape(fpc, b).astype(jnp.int32), nvk, streams, wb, wp,
             sff, scale_factor_bits, b,
         )
         sf = sf_p[:w, 0, :b].astype(jnp.uint8)

@@ -85,3 +85,24 @@ def test_final_partial_byte_left_aligned():
     # one 3-bit value -> byte 0bvvv00000
     packed = bitpack.pack_bits(np.array([0b101], dtype=np.uint32), 3)
     np.testing.assert_array_equal(packed, [0b10100000])
+
+
+@pytest.mark.parametrize("width", list(range(1, 9)))
+def test_pack_bits_rows_matches_scalar(width):
+    rng = np.random.default_rng(width + 100)
+    vals = rng.integers(0, 1 << width, size=(7, 203)).astype(np.uint32)
+    rows = bitpack.pack_bits_rows(vals, width)
+    for i in range(vals.shape[0]):
+        np.testing.assert_array_equal(rows[i], bitpack.pack_bits(vals[i], width))
+
+
+def test_pack_bits_rows_variable_widths():
+    rng = np.random.default_rng(9)
+    n, count = 5, 240
+    base = rng.integers(1, 7, size=count)
+    # per-row permutations of the same width multiset -> equal totals
+    widths = np.stack([rng.permutation(base) for _ in range(n)])
+    vals = (rng.integers(0, 256, size=(n, count)) & ((1 << widths) - 1)).astype(np.uint32)
+    rows = bitpack.pack_bits_rows(vals, widths)
+    for i in range(n):
+        np.testing.assert_array_equal(rows[i], bitpack.pack_bits(vals[i], widths[i]))

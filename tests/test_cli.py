@@ -99,3 +99,20 @@ def test_cli_metadata(wav_file, tmp_path):
     with open(sea, "rb") as f:
         header = SeaFileHeader.from_reader(f)
     assert header.metadata == "artist=x\ntitle=y\n"
+
+
+def test_cli_native_backend(wav_file, tmp_path):
+    wav_in, samples = wav_file
+    sea = str(tmp_path / "n.sea")
+    wav_out = str(tmp_path / "n.wav")
+    r = run_cli(wav_in, sea, "--backend", "native")
+    assert r.returncode == 0, r.stderr
+    # native and jax backends produce identical bytes
+    sea2 = str(tmp_path / "j.sea")
+    r = run_cli(wav_in, sea2)
+    assert r.returncode == 0, r.stderr
+    assert open(sea, "rb").read() == open(sea2, "rb").read()
+    r = run_cli(sea, wav_out, "--backend", "native")
+    assert r.returncode == 0, r.stderr
+    decoded = read_wav(wav_out)
+    assert decoded.samples.shape == samples.shape

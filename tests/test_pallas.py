@@ -28,3 +28,16 @@ def test_pallas_decode_matches_scan(shape):
         *args, dqt, scale_factor_frames=20, use_pallas=True, pallas_interpret=True
     )
     np.testing.assert_array_equal(np.asarray(pal), np.asarray(ref))
+
+
+@pytest.mark.parametrize("width", list(range(1, 9)))
+def test_unpack_const_strided_matches_reference(width):
+    from sea_codec_tpu.ops.device_decode import unpack_const_device, unpack_const_strided
+
+    rng = np.random.default_rng(width)
+    count = 997
+    nbytes = (count * width + 7) // 8
+    data = rng.integers(0, 256, size=(3, nbytes)).astype(np.uint8)
+    a = np.asarray(unpack_const_strided(jnp.asarray(data), width, count))
+    b = np.asarray(unpack_const_device(jnp.asarray(data), width, count))
+    np.testing.assert_array_equal(a, b)
