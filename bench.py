@@ -60,8 +60,8 @@ def main() -> None:
     n_samples = samples.shape[0]
 
     # ---- encode (whole-file single program + host container assembly) ----
-    log("warming up encoder ...")
-    encode_sea(samples[: 2 * fpc * channels], TEST_SAMPLE_RATE, channels, settings)
+    log("warming up encoder (compiles the full corpus shape) ...")
+    encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)
     log("encoding ...")
     t0 = time.perf_counter()
     encoded = encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)

@@ -289,11 +289,8 @@ def encode_sea(
 
     chunks: list[bytes] = []
     if nc_full:
-        x = (
-            samples[: nc_full * fpc * c]
-            .astype(np.int32)
-            .reshape(nc_full, fpc, c)
-        )
+        # int16 on the wire; widened on device (halves the upload)
+        x = samples[: nc_full * fpc * c].reshape(nc_full, fpc, c)
         if settings.vbr:
             target = normalized_vbr_bitrate(settings.residual_bits, fpc, sfb, sff)
             base = int(target)

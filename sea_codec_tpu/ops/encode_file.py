@@ -93,7 +93,7 @@ def encode_file_cbr(
 
         def body(state, smp):
             codes_p, sf_p, _ranks_p, state_out = run_window_search(
-                state, smp.reshape(fpc, c), nv_p, streams, wb, wp,
+                state, smp.reshape(fpc, c).astype(jnp.int32), nv_p, streams, wb, wp,
                 sff, scale_factor_bits, c,
             )
             sf = sf_p[:w, 0, :c].astype(jnp.uint8)
@@ -112,7 +112,9 @@ def encode_file_cbr(
 
     def body(carry, smp):
         hist, wts, prev = carry
-        sf, codes, _ranks, h2, w2, p2 = run(smp.reshape(fpc, c), rs, nv, hist, wts, prev)
+        sf, codes, _ranks, h2, w2, p2 = run(
+            smp.reshape(fpc, c).astype(jnp.int32), rs, nv, hist, wts, prev
+        )
         return (h2, w2, p2), (sf, codes, hist, wts)
 
     (hist, wts, prev), (sf, codes, ehist, ewts) = jax.lax.scan(
@@ -202,7 +204,7 @@ def encode_file_vbr(
 
     def body(carry, smp):
         hist, wts, prev = carry
-        flat = smp.reshape(fpc, c)
+        flat = smp.reshape(fpc, c).astype(jnp.int32)
         # pass 1: analyze at base+1; LMS restored, prev_sf kept
         _sf1, _codes1, ranks, _h1, _w1, prev1 = run(flat, rs1, nv, hist, wts, prev)
         errors = ranks.reshape(-1)  # [w*c] uint64, window-major channel-minor

@@ -96,3 +96,14 @@ def test_decode_corpus_matches_single():
     results = decode_corpus(files)
     for r, e in zip(results, expected):
         np.testing.assert_array_equal(np.asarray(r.samples), e)
+
+
+def test_encode_corpus_cpu_fallback():
+    """On non-TPU backends encode_corpus falls back to per-file encoding."""
+    from sea_codec_tpu.batch import encode_corpus
+
+    files = [gen_test_signal(2, n)[: (gen_test_signal(2, n).shape[0] // 2) * 2] for n in (2500, 999)]
+    settings = EncoderSettings(frames_per_chunk=1000)
+    out = encode_corpus(files, TEST_SAMPLE_RATE, 2, settings)
+    for f, enc in zip(files, out):
+        assert enc == sea_encode(f, TEST_SAMPLE_RATE, 2, settings)
