@@ -49,8 +49,8 @@ def main() -> None:
     log(f"device: {dev} ({dev.platform})")
 
     channels = 2
-    n_chunks = 256  # encoded corpus; decode measures on a tiled multiple
-    decode_mult = 8  # 2048 chunks / 21M samples per decode call
+    n_chunks = 128  # encoded corpus; decode measures on a tiled multiple
+    decode_mult = 16  # 2048 chunks / 21M samples per decode call
     fpc = 5120
     frames = n_chunks * fpc
     settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=fpc)

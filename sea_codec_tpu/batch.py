@@ -282,6 +282,11 @@ def encode_sea(
         metadata=settings.metadata,
     )
     residual_size = int(np.floor(settings.residual_bits))
+    if settings.vbr:
+        target0 = normalized_vbr_bitrate(settings.residual_bits, fpc, sfb, sff)
+        # anchor the VBR delta base (see models/vbr.py on the reference's
+        # corrupt-stream bug for high-overhead configs)
+        residual_size = min(residual_size, int(target0) + 1)
 
     hist = lms_ops.initial_history(c)
     wts = lms_ops.initial_weights(c)

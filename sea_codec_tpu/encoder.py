@@ -114,7 +114,7 @@ class SeaEncoder:
             chunk_type=CHUNK_TYPE_VBR if is_vbr else CHUNK_TYPE_CBR,
             scale_factor_bits=self.settings.scale_factor_bits,
             scale_factor_frames=self.settings.scale_factor_frames,
-            residual_size=int(np.floor(self.settings.residual_bits)),
+            residual_size=self.model.chunk_residual_size,
             lms_history=hist,
             lms_weights=wts,
             scale_factors=encoded.scale_factors,

@@ -24,6 +24,7 @@ class CbrEncoderModel:
         self.channels = channels
         self.scale_factor_frames = scale_factor_frames
         self.residual_size = int(np.floor(residual_bits))
+        self.chunk_residual_size = self.residual_size
         self.frames_per_chunk = frames_per_chunk
         self.windows_per_chunk = -(-frames_per_chunk // scale_factor_frames)
         self.kernel = EncoderKernel(channels, scale_factor_bits, scale_factor_frames)

@@ -98,6 +98,15 @@ class VbrEncoderModel:
         self.vbr_target_bitrate = normalized_vbr_bitrate(
             residual_bits, frames_per_chunk, scale_factor_bits, scale_factor_frames
         )
+        # The chunk header's residual_size field anchors the 2-bit size
+        # deltas (stored as size - field + 1, range 0..3). The reference
+        # always writes floor(residual_bits) (chunk.rs:60), which produces
+        # *corrupt* streams when overhead compensation pulls the size base
+        # more than 1 below it (negative deltas, silently wrapped). We anchor
+        # at min(floor(residual_bits), base + 1): byte-identical wherever the
+        # reference is correct, valid everywhere.
+        base = int(self.vbr_target_bitrate)
+        self.chunk_residual_size = min(int(np.floor(residual_bits)), base + 1)
         self.kernel = EncoderKernel(channels, scale_factor_bits, scale_factor_frames)
         self.state = EncoderBaseState(channels)
 
@@ -117,12 +126,12 @@ class VbrEncoderModel:
         sizes[indices[:m1]] = base - 1
         sizes[indices[sortable - p2 - p1 : sortable - p2]] = base + 1
         sizes[indices[sortable - p2 :]] = base + 2
-        # Residual sizes are capped at 8 bits. The reference panics here when
-        # the distribution assigns base+2 = 9 (VBR at target 8.0,
-        # ``SeaResidualSize::from`` hits the invalid arm) and such sizes are
-        # not decodable in the format; clamping is a deliberate divergence
-        # that makes target 8.0 usable.
-        return np.minimum(sizes, 8)
+        # Residual sizes are clamped to 1..8. The reference panics when the
+        # distribution assigns base+2 = 9 (VBR at target 8.0) or base = 0
+        # (tiny chunks where overhead compensation exceeds the target); such
+        # sizes are not representable in the format. Clamping is a deliberate
+        # divergence that keeps every settings combination usable.
+        return np.clip(sizes, 1, 8)
 
     def encode(self, samples: np.ndarray) -> EncodedSamples:
         c = self.channels

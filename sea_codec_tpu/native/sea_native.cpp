@@ -359,7 +359,7 @@ std::vector<uint8_t> choose_residual_sizes(size_t input_len, size_t sff, float t
     for (size_t i = sortable - dist[3] - dist[2]; i < sortable - dist[3]; i++)
         sizes[idx[i]] = base + 1;
     for (size_t i = sortable - dist[3]; i < sortable; i++) sizes[idx[i]] = base + 2;
-    for (auto& s : sizes) s = std::min<uint8_t>(s, 8);
+    for (auto& s : sizes) s = std::min<uint8_t>(std::max<uint8_t>(s, 1), 8);
     return sizes;
 }
 
@@ -388,6 +388,13 @@ void serialize_chunk(std::vector<uint8_t>& out, const EncoderState& st,
                      const std::vector<uint8_t>& vbr_sizes) {
     out.push_back(cfg.vbr ? 0x02 : 0x01);
     int residual_size = (int)floorf(cfg.residual_bits);
+    if (cfg.vbr) {
+        // anchor the delta base so 2-bit deltas stay in 0..3 (the reference
+        // writes corrupt streams for high-overhead configs; see models/vbr.py)
+        float target = normalized_vbr_bitrate(cfg.residual_bits, cfg.fpc, cfg.sfb, cfg.sff);
+        int base = (int)target;
+        if (residual_size > base + 1) residual_size = base + 1;
+    }
     out.push_back((uint8_t)((cfg.sfb << 4) | residual_size));
     out.push_back((uint8_t)cfg.sff);
     out.push_back(0x5A);

@@ -216,7 +216,7 @@ def encode_file_vbr(
             sizes = sizes.at[order[sortable - p2 - p1 : sortable - p2]].set(base + 1)
         if p2:
             sizes = sizes.at[order[sortable - p2 :]].set(base + 2)
-        sizes = jnp.minimum(sizes, 8)  # see models/vbr.py on the size-9 cap
+        sizes = jnp.clip(sizes, 1, 8)  # see models/vbr.py on the size clamps
         rs2 = sizes.reshape(w, c)
         sf, codes, _ranks2, h2, w2, p2_ = run(flat, rs2, nv, hist, wts, prev1)
         return (h2, w2, p2_), (sf, codes, sizes.astype(jnp.uint8), hist, wts)
