@@ -50,7 +50,7 @@ def main() -> None:
 
     channels = 2
     n_chunks = 128  # encoded corpus; decode measures on a tiled multiple
-    decode_mult = 16  # 2048 chunks / 21M samples per decode call
+    decode_mult = 32  # 4096 chunks / 42M samples per decode call
     fpc = 5120
     frames = n_chunks * fpc
     settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=fpc)

@@ -397,10 +397,13 @@ def encode_corpus(
     """Encode many files at once by packing their channel streams into the
     encoder kernel's 128 lanes (each stream keeps its own LMS carry and
     per-window length mask). All files share ``channels`` and ``settings``.
-
-    CBR only takes the fused path; VBR (whose per-chunk size selection
-    depends on per-file sortable counts) falls back to per-file encoding.
     Outputs are byte-identical to per-file ``encode_sea``.
+
+    CBR: whole files (including ragged tails) ride the fused kernel scan.
+    VBR: full chunks ride the fused scan with per-file on-device error
+    ranking; each file's ragged tail chunk (whose size-selection counts are
+    data-dependent) is encoded by the per-chunk model seeded with the carried
+    state. Requires a TPU backend; falls back to per-file encoding otherwise.
     """
     from .encoder import EncoderSettings
 
@@ -408,12 +411,13 @@ def encode_corpus(
         settings = EncoderSettings()
     from .ops.device_decode import default_use_pallas
 
-    if settings.vbr or not default_use_pallas() or channels > 64:
+    if not default_use_pallas() or channels > 64:
         return [encode_sea(f, sample_rate, channels, settings) for f in files]
 
     import jax
+    from .models.vbr import interpolate_distribution, normalized_vbr_bitrate
     from .ops import lms as lms_ops
-    from .ops.encode_file import encode_corpus_cbr
+    from .ops.encode_file import encode_corpus_cbr, encode_corpus_vbr
 
     c = channels
     fpc = settings.frames_per_chunk
@@ -421,12 +425,17 @@ def encode_corpus(
     sfb = settings.scale_factor_bits
     w = fpc // sff
     residual_size = int(np.floor(settings.residual_bits))
+    if settings.vbr:
+        target = normalized_vbr_bitrate(settings.residual_bits, fpc, sfb, sff)
+        base = int(target)
+        residual_size = min(residual_size, base + 1)  # delta anchor (models/vbr.py)
+        sortable = (fpc * c) // sff
+        m1, _t, p1, p2 = interpolate_distribution(sortable, target)
     group_size = 128 // c
 
     results: list[bytes] = [b""] * len(files)
-    order = list(range(len(files)))
     for g0 in range(0, len(files), group_size):
-        idxs = order[g0 : g0 + group_size]
+        idxs = list(range(g0, min(g0 + group_size, len(files))))
         group = [np.asarray(files[i], dtype=np.int16) for i in idxs]
         frames = [f.shape[0] // c for f in group]
         nc_max = max(-(-fr // fpc) for fr in frames)
@@ -437,12 +446,14 @@ def encode_corpus(
         for j, (f, fr) in enumerate(zip(group, frames)):
             lanes = slice(j * c, (j + 1) * c)
             arr = f[: fr * c].reshape(fr, c)
+            fused_chunks = -(-fr // fpc) if not settings.vbr else fr // fpc
             for k in range(-(-fr // fpc)):
                 fk = min(fpc, fr - k * fpc)
                 x[k, :fk, lanes] = arr[k * fpc : k * fpc + fk]
-                nv[k, :, lanes] = np.clip(
-                    fk - np.arange(w)[:, None] * sff, 0, sff
-                )
+                if k < fused_chunks:
+                    nv[k, :, lanes] = np.clip(
+                        fk - np.arange(w)[:, None] * sff, 0, sff
+                    )
 
         # per-chunk nv stacks in the kernel's [WP, 1, 128] layout (host numpy)
         wp = _wp(w)
@@ -459,17 +470,25 @@ def encode_corpus(
                 np.zeros(b, np.int32),
             )
         )
-        sf, codes, ehist, ewts = encode_corpus_cbr(
-            x_d,
-            nv_d,
-            h_d,
-            w_d,
-            p_d,
-            scale_factor_frames=sff,
-            scale_factor_bits=sfb,
-            residual_size=residual_size,
-        )
-        sf, codes, ehist, ewts = jax.device_get((sf, codes, ehist, ewts))
+        if settings.vbr:
+            out = encode_corpus_vbr(
+                x_d, nv_d, h_d, w_d, p_d,
+                scale_factor_frames=sff,
+                scale_factor_bits=sfb,
+                base=base,
+                dist=(m1, p1, p2),
+                n_files=len(group),
+            )
+            sf, codes, sizes, ehist, ewts, fhist, fwts, fprev = jax.device_get(out)
+        else:
+            out = encode_corpus_cbr(
+                x_d, nv_d, h_d, w_d, p_d,
+                scale_factor_frames=sff,
+                scale_factor_bits=sfb,
+                residual_size=residual_size,
+            )
+            sf, codes, ehist, ewts, fhist, fwts, fprev = jax.device_get(out)
+            sizes = None
 
         for j, (i, fr) in enumerate(zip(idxs, frames)):
             lanes = slice(j * c, (j + 1) * c)
@@ -486,10 +505,14 @@ def encode_corpus(
             nc_f = -(-fr // fpc)
             nc_f_full = fr // fpc
             if nc_f_full:
+                if sizes is not None:
+                    sizes_f = sizes[:nc_f_full, :, lanes]
+                else:
+                    sizes_f = None
                 rect = serialize_full_chunks(
                     sf[:nc_f_full, :, lanes],
                     codes[:nc_f_full, :, lanes],
-                    None,
+                    sizes_f,
                     ehist[:nc_f_full, lanes],
                     ewts[:nc_f_full, lanes],
                     scale_factor_bits=sfb,
@@ -501,18 +524,49 @@ def encode_corpus(
                 k = nc_f_full
                 fk = fr - k * fpc
                 w_real = -(-fk // sff)
-                chunk = SeaChunk(
-                    channels=c,
-                    frames_in_chunk=fk,
-                    chunk_type=CHUNK_TYPE_CBR,
-                    scale_factor_bits=sfb,
-                    scale_factor_frames=sff,
-                    residual_size=residual_size,
-                    lms_history=ehist[k, lanes],
-                    lms_weights=ewts[k, lanes],
-                    scale_factors=sf[k, :w_real, lanes].reshape(-1),
-                    residuals=codes[k, :fk, lanes].reshape(-1),
-                )
+                if settings.vbr:
+                    # tail size-selection counts are data-dependent: run the
+                    # per-chunk model seeded with the fused scan's carry
+                    from .models import VbrEncoderModel
+
+                    model = VbrEncoderModel(
+                        channels=c,
+                        scale_factor_bits=sfb,
+                        scale_factor_frames=sff,
+                        residual_bits=settings.residual_bits,
+                        frames_per_chunk=fpc,
+                    )
+                    model.state.hist = fhist[lanes].astype(np.int32)
+                    model.state.wts = fwts[lanes].astype(np.int32)
+                    model.state.prev_sf = fprev[lanes].astype(np.int32)
+                    eh, ew = model.lms_snapshot
+                    enc = model.encode(group[j][k * fpc * c : fr * c])
+                    chunk = SeaChunk(
+                        channels=c,
+                        frames_in_chunk=fk,
+                        chunk_type=CHUNK_TYPE_VBR,
+                        scale_factor_bits=sfb,
+                        scale_factor_frames=sff,
+                        residual_size=residual_size,
+                        lms_history=eh,
+                        lms_weights=ew,
+                        scale_factors=enc.scale_factors,
+                        vbr_residual_sizes=enc.residual_bits,
+                        residuals=enc.residuals,
+                    )
+                else:
+                    chunk = SeaChunk(
+                        channels=c,
+                        frames_in_chunk=fk,
+                        chunk_type=CHUNK_TYPE_CBR,
+                        scale_factor_bits=sfb,
+                        scale_factor_frames=sff,
+                        residual_size=residual_size,
+                        lms_history=ehist[k, lanes],
+                        lms_weights=ewts[k, lanes],
+                        scale_factors=sf[k, :w_real, lanes].reshape(-1),
+                        residuals=codes[k, :fk, lanes].reshape(-1),
+                    )
                 chunks.append(chunk.serialize())
             if chunks:
                 header.chunk_size = len(chunks[0])

@@ -169,7 +169,95 @@ def encode_corpus_cbr(
         return state_out, (sf, codes, ehist, ewts)
 
     state, (sf, codes, ehist, ewts) = jax.lax.scan(body, state0, (samples, nv_all))
-    return sf, codes, ehist, ewts
+    hist = state[0:4, 0, :b].T
+    wts = state[4:8, 0, :b].T
+    prev = state[8, 0, :b].astype(jnp.int32)
+    return sf, codes, ehist, ewts, hist, wts, prev
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames",
+        "scale_factor_bits",
+        "base",
+        "dist",
+        "n_files",
+    ),
+)
+def encode_corpus_vbr(
+    samples: jnp.ndarray,  # int16[nc, fpc, B]
+    nv_all: jnp.ndarray,  # int32[nc, WP, 1, 128]; tail/padding chunks all-zero
+    hist0: jnp.ndarray,  # int32[B, 4]
+    wts0: jnp.ndarray,
+    prev0: jnp.ndarray,  # int32[B]
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    base: int,
+    dist: tuple,  # (m1, p1, p2) static distribution counts for full chunks
+    n_files: int,
+):
+    """Corpus VBR encode: the two-pass search with *per-file* on-device error
+    ranking (each file's windows x channels rank independently, exactly like
+    per-file encoding). Only full chunks ride this path; ragged tails are
+    masked out via nv and encoded by the caller. TPU/Pallas only."""
+    from .pallas_encode import pack_state, prepare_window_streams, run_window_search
+
+    nc, fpc, b = samples.shape
+    sff = scale_factor_frames
+    w = fpc // sff
+    s = 1 << scale_factor_bits
+    nf = n_files
+    c = b // nf
+    m1, p1, p2 = dist
+    sortable = (fpc * c) // sff
+
+    rs1 = jnp.full((w, b), base + 1, jnp.int32)
+    streams1, wb, wp = prepare_window_streams(rs1, sff, scale_factor_bits, b)
+    assert nv_all.shape[1] == wp
+    state0 = pack_state(hist0, wts0, prev0, s, b)
+
+    def choose(errors):  # [w*c] uint64 for one file, window-major
+        order = jnp.argsort(errors[:sortable], stable=True)
+        sizes = jnp.full((w * c,), base, jnp.int32)
+        if m1:
+            sizes = sizes.at[order[:m1]].set(base - 1)
+        if p1:
+            sizes = sizes.at[order[sortable - p2 - p1 : sortable - p2]].set(base + 1)
+        if p2:
+            sizes = sizes.at[order[sortable - p2 :]].set(base + 2)
+        return jnp.clip(sizes, 1, 8)
+
+    def body(state, xs):
+        smp, nvk = xs
+        flat = smp.reshape(fpc, b).astype(jnp.int32)
+        # pass 1: analyze at base+1 from the carried state
+        _c1, _s1, ranks_p, state1 = run_window_search(
+            state, flat, nvk, streams1, wb, wp, sff, scale_factor_bits, b
+        )
+        hi = ranks_p[:w, 0, :b].astype(jnp.uint32).astype(jnp.uint64)
+        lo = ranks_p[:w, 1, :b].astype(jnp.uint32).astype(jnp.uint64)
+        errors = (hi << jnp.uint64(32)) | lo  # [w, B]
+        err_f = errors.reshape(w, nf, c).transpose(1, 0, 2).reshape(nf, w * c)
+        sizes_f = jax.vmap(choose)(err_f)  # [nf, w*c]
+        rs2 = sizes_f.reshape(nf, w, c).transpose(1, 0, 2).reshape(w, b)
+        streams2, _wb2, _wp2 = prepare_window_streams(rs2, sff, scale_factor_bits, b)
+        # pass 2: LMS restored (rows 0..7 from the carry), prev_sf from pass 1
+        state_p2 = jnp.concatenate([state[0:8], state1[8:9]], axis=0)
+        codes_p, sf_p, _r2, state2 = run_window_search(
+            state_p2, flat, nvk, streams2, wb, wp, sff, scale_factor_bits, b
+        )
+        sf = sf_p[:w, 0, :b].astype(jnp.uint8)
+        codes = codes_p[:w, :sff, :b].reshape(fpc, b).astype(jnp.uint8)
+        ehist = state[0:4, 0, :b].T
+        ewts = state[4:8, 0, :b].T
+        return state2, (sf, codes, rs2.astype(jnp.uint8), ehist, ewts)
+
+    state, (sf, codes, sizes, ehist, ewts) = jax.lax.scan(body, state0, (samples, nv_all))
+    hist = state[0:4, 0, :b].T
+    wts = state[4:8, 0, :b].T
+    prev = state[8, 0, :b].astype(jnp.int32)
+    return sf, codes, sizes, ehist, ewts, hist, wts, prev
 
 
 @partial(
