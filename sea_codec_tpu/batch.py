@@ -411,7 +411,7 @@ def encode_corpus(
         settings = EncoderSettings()
     from .ops.device_decode import default_use_pallas
 
-    if not default_use_pallas() or channels > 64:
+    if not default_use_pallas() or channels > 128:
         return [encode_sea(f, sample_rate, channels, settings) for f in files]
 
     import jax
@@ -431,7 +431,7 @@ def encode_corpus(
         residual_size = min(residual_size, base + 1)  # delta anchor (models/vbr.py)
         sortable = (fpc * c) // sff
         m1, _t, p1, p2 = interpolate_distribution(sortable, target)
-    group_size = 128 // c
+    group_size = max(1, 128 // c)
 
     results: list[bytes] = [b""] * len(files)
     for g0 in range(0, len(files), group_size):

@@ -58,9 +58,11 @@ def get_encoder_settings(args) -> "EncoderSettings":
 
     try:
         scale_factor_frames = int(args.scalefactor_distance)
+        if not 0 <= scale_factor_frames <= 255:  # reference parses a u8
+            raise ValueError
     except ValueError:
         _die("Failed to parse scale factor frames")
-    if scale_factor_frames < 1 or scale_factor_frames > 255 or frames_per_chunk % scale_factor_frames != 0:
+    if scale_factor_frames < 1 or frames_per_chunk % scale_factor_frames != 0:
         _die("Scale factor frames must be a divisor of chunk size")
 
     try:
