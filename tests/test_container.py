@@ -103,3 +103,39 @@ def test_total_frames_limits_decode():
     encoded = sea_encode(samples, TEST_SAMPLE_RATE, 1, EncoderSettings())
     decoded = sea_decode(encoded + b"\xff" * 64)
     assert decoded.samples.shape[0] == 5120
+
+
+def test_8channel_with_metadata_roundtrip():
+    """BASELINE config: 8-channel interleaved encode with metadata embedding."""
+    samples = gen_test_signal(8, 4000)
+    n = samples.shape[0] // 8
+    samples = samples[: n * 8]
+    settings = EncoderSettings(
+        frames_per_chunk=1000, metadata="title=eight\nartist=chan\n"
+    )
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, 8, settings)
+    header = SeaFileHeader.from_reader(io.BytesIO(encoded))
+    assert header.channels == 8
+    assert header.metadata == "title=eight\nartist=chan\n"
+    decoded = sea_decode(encoded)
+    assert decoded.samples.shape == samples.shape
+    # per-channel LMS entry state in every chunk: seek into chunk 2 works
+    from sea_codec_tpu.batch import decode_range
+
+    got = decode_range(encoded, 2000, 500)
+    np.testing.assert_array_equal(got, np.asarray(decoded.samples)[2000 * 8 : 2500 * 8])
+
+
+def test_many_file_corpus_decode():
+    """BASELINE config: corpus decode, chunk-parallel, many files."""
+    from sea_codec_tpu.batch import decode_corpus
+
+    samples = gen_test_signal(2, 2000)
+    samples = samples[: (samples.shape[0] // 2) * 2]
+    one = sea_encode(samples, TEST_SAMPLE_RATE, 2, EncoderSettings(frames_per_chunk=1000))
+    expected = np.asarray(sea_decode(one).samples)
+    files = [one] * 200
+    results = decode_corpus(files)
+    assert len(results) == 200
+    for r in (results[0], results[99], results[199]):
+        np.testing.assert_array_equal(np.asarray(r.samples), expected)
