@@ -1,0 +1,94 @@
+"""Corpus batch transcoder: many WAV -> .sea (or .sea -> WAV) in one run.
+
+    python -m sea_codec_tpu.batch_cli 'audio/*.wav' out/ -b 3 [-v] [flags]
+    python -m sea_codec_tpu.batch_cli 'encoded/*.sea' out/
+
+Files are encoded through the lane-packed corpus kernel (channels of many
+files encode in parallel) and decoded through the software-pipelined
+chunk-parallel batch decoder. Per-file failures are reported and skipped.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+from .cli import build_parser, get_encoder_settings
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    parser.prog = "sea-batch"
+    parser.usage = "%(prog)s INPUT_GLOB OUTPUT_DIR [options]"
+    args = parser.parse_args(argv)
+    settings = get_encoder_settings(args)
+
+    paths = sorted(glob.glob(args.input))
+    if not paths:
+        print(f"Error: no files match {args.input!r}", file=sys.stderr)
+        return 1
+    outdir = args.output
+    os.makedirs(outdir, exist_ok=True)
+
+    exts = {os.path.splitext(p)[1].lower() for p in paths}
+    if exts == {".wav"}:
+        from .batch import encode_corpus
+        from .utils.wav import read_wav
+
+        waves, names = [], []
+        by_config: dict[tuple[int, int], list[int]] = {}
+        for p in paths:
+            try:
+                w = read_wav(p)
+            except (OSError, ValueError) as e:
+                print(f"skip {p}: {e}", file=sys.stderr)
+                continue
+            by_config.setdefault((w.channels, w.sample_rate), []).append(len(waves))
+            waves.append(w)
+            names.append(os.path.splitext(os.path.basename(p))[0])
+        t0 = time.perf_counter()
+        total = 0
+        for (channels, rate), idxs in by_config.items():
+            encoded = encode_corpus([waves[i].samples for i in idxs], rate, channels, settings)
+            for i, enc in zip(idxs, encoded):
+                with open(os.path.join(outdir, names[i] + ".sea"), "wb") as f:
+                    f.write(enc)
+                total += waves[i].samples.shape[0]
+        dt = time.perf_counter() - t0
+        print(
+            f"encoded {len(waves)} files / {total} samples in {dt:.2f}s "
+            f"({total / max(dt, 1e-9) / 1e6:.1f} Msamples/s)"
+        )
+    elif exts == {".sea"}:
+        from .batch import decode_corpus
+        from .utils.wav import write_wav
+
+        blobs = [open(p, "rb").read() for p in paths]
+        t0 = time.perf_counter()
+        results = decode_corpus(blobs, on_error="skip")
+        dt = time.perf_counter() - t0
+        total = 0
+        for p, info in zip(paths, results):
+            if info is None:
+                print(f"skip {p}: undecodable", file=sys.stderr)
+                continue
+            name = os.path.splitext(os.path.basename(p))[0] + ".wav"
+            write_wav(np.asarray(info.samples), info.channels, info.sample_rate,
+                      os.path.join(outdir, name))
+            total += info.samples.shape[0]
+        print(
+            f"decoded {sum(r is not None for r in results)} files / {total} samples "
+            f"in {dt:.2f}s ({total / max(dt, 1e-9) / 1e6:.1f} Msamples/s)"
+        )
+    else:
+        print("Error: input glob must match all .wav or all .sea files", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -116,3 +116,29 @@ def test_cli_native_backend(wav_file, tmp_path):
     assert r.returncode == 0, r.stderr
     decoded = read_wav(wav_out)
     assert decoded.samples.shape == samples.shape
+
+
+def test_batch_cli_roundtrip(tmp_path):
+    import glob as _glob
+
+    indir = tmp_path / "wavs"; indir.mkdir()
+    seadir = tmp_path / "seas"; wavdir = tmp_path / "out"
+    sigs = {}
+    for i, frames in enumerate((3000, 5000)):
+        s = gen_test_signal(2, frames)
+        s = s[: (s.shape[0] // 2) * 2]
+        sigs[f"f{i}"] = s
+        write_wav(s, 2, TEST_SAMPLE_RATE, str(indir / f"f{i}.wav"))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "sea_codec_tpu.batch_cli", str(indir / "*.wav"), str(seadir), "-b", "3"],
+        capture_output=True, text=True, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    assert len(_glob.glob(str(seadir / "*.sea"))) == 2
+    r = subprocess.run(
+        [sys.executable, "-m", "sea_codec_tpu.batch_cli", str(seadir / "*.sea"), str(wavdir)],
+        capture_output=True, text=True, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    for name, s in sigs.items():
+        out = read_wav(str(wavdir / f"{name}.wav"))
+        assert out.samples.shape == s.shape
