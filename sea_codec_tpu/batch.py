@@ -631,47 +631,99 @@ def decode_range(encoded: bytes, start_frame: int, n_frames: int) -> np.ndarray:
 
 
 def decode_corpus(
-    files: list[bytes], device_batch: int = 1024, on_error: str = "raise"
+    files: list[bytes], device_batch: int = 2048, on_error: str = "raise"
 ) -> list[SeaDecodeInfo | None]:
     """Decode many .sea files with host-parse / device-compute overlap.
 
-    JAX dispatch is asynchronous: all device batches are enqueued while the
-    host is still parsing later files, and results are fetched afterwards --
-    a software-pipelined corpus decode (the BASELINE "1,000-file corpus"
-    configuration). Per-file outputs are bit-identical to ``decode_sea``.
+    Files sharing a configuration (chunk geometry, channels, mode) are merged
+    into shared device batches -- a 1,000-file corpus of like files decodes in
+    a handful of device calls (the BASELINE corpus configuration), and JAX's
+    async dispatch overlaps host parsing with device compute. Per-file
+    outputs are bit-identical to ``decode_sea``.
 
     ``on_error="skip"`` reports undecodable files as ``None`` instead of
     aborting the corpus (batch-pipeline failure containment).
     """
     assert on_error in ("raise", "skip")
-    staged = []  # (header, pending device arrays, frames_real, tail_part)
-    dqt_cache: dict[int, jnp.ndarray] = {}
+    staged: list[tuple | None] = []
     for encoded in files:
         if on_error == "skip":
             try:
-                staged.append(_stage_file(encoded, device_batch, dqt_cache))
+                staged.append(_stage_file_parsed(encoded))
             except Exception:
                 staged.append(None)
         else:
-            staged.append(_stage_file(encoded, device_batch, dqt_cache))
+            staged.append(_stage_file_parsed(encoded))
+
+    # group same-config full-chunk batches into shared device batches
+    groups: dict[tuple, list[tuple[int, object]]] = {}
+    for fi, item in enumerate(staged):
+        if item is None:
+            continue
+        header, batch, frames_real, tail_part, fpc = item
+        if batch is None:
+            continue
+        key = (
+            fpc,
+            header.channels,
+            batch.scale_factor_frames,
+            batch.scale_factor_bits,
+            batch.residual_size,
+            batch.res_bytes.shape[1],
+            batch.sf.shape[1],
+        )
+        groups.setdefault(key, []).append((fi, batch))
+
+    pcm_parts: dict[int, list[np.ndarray]] = {fi: [] for fi in range(len(files))}
+    use_pallas = default_use_pallas()
+    for key, members in groups.items():
+        fpc, c, sff, sfb, residual_size, _bw, _w = key
+        dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32)
+        res = np.concatenate([b.res_bytes for _fi, b in members])
+        sf = np.concatenate([b.sf for _fi, b in members])
+        rs = np.concatenate([b.rs for _fi, b in members])
+        hist = np.concatenate([b.hist for _fi, b in members])
+        wts = np.concatenate([b.wts for _fi, b in members])
+        n = res.shape[0]
+        outs = []
+        for startk in range(0, n, device_batch):
+            endk = min(startk + device_batch, n)
+            outs.append(
+                decode_chunks_packed(
+                    jnp.asarray(res[startk:endk]),
+                    jnp.asarray(sf[startk:endk]),
+                    jnp.asarray(rs[startk:endk]),
+                    jnp.asarray(hist[startk:endk]),
+                    jnp.asarray(wts[startk:endk]),
+                    dqt_flat,
+                    scale_factor_frames=sff,
+                    frames=fpc,
+                    residual_size=residual_size,
+                    use_pallas=use_pallas,
+                )
+            )
+        pcm = np.concatenate([np.asarray(o) for o in outs])  # [n, fpc, c]
+        pos = 0
+        for fi, b in members:
+            cnt = b.res_bytes.shape[0]
+            pcm_parts[fi].append(pcm[pos : pos + cnt])
+            pos += cnt
 
     results: list[SeaDecodeInfo | None] = []
-    for item in staged:
+    for fi, item in enumerate(staged):
         if item is None:
             results.append(None)
             continue
-        header, outs, frames_real, tail_part, fpc = item
+        header, batch, frames_real, tail_part, fpc = item
         parts = []
-        done = 0
-        for out in outs:
-            pcm = np.asarray(out)
-            end = done + pcm.shape[0]
-            if frames_real[end - 1] == fpc:
+        if batch is not None:
+            pcm = pcm_parts[fi][0]
+            n = pcm.shape[0]
+            if frames_real[n - 1] == fpc:
                 parts.append(pcm.reshape(-1))
             else:
                 parts.append(pcm[:-1].reshape(-1))
-                parts.append(pcm[-1, : frames_real[end - 1]].reshape(-1))
-            done = end
+                parts.append(pcm[-1, : frames_real[n - 1]].reshape(-1))
         if tail_part is not None:
             parts.append(tail_part)
         samples = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
@@ -685,40 +737,22 @@ def decode_corpus(
     return results
 
 
-def _stage_file(encoded: bytes, device_batch: int, dqt_cache: dict):
+def _stage_file_parsed(encoded: bytes):
+    """Host-side parse of one corpus file: (header, ParsedBatch|None,
+    frames_real, tail PCM|None, fpc). The ragged tail decodes immediately
+    (its own small device call); full chunks join the shared group batches."""
     header, rect, tail = split_chunks(encoded)
     fpc = header.frames_per_chunk
-    outs = []
+    batch = None
     frames_real = None
     if rect is not None:
         batch = parse_full_chunks(rect, header)
-        sfb = batch.scale_factor_bits
-        if sfb not in dqt_cache:
-            dqt_cache[sfb] = jnp.asarray(
-                tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32
-            )
         n = rect.shape[0]
         frames_real = np.full(n, fpc, dtype=np.int64)
         if header.total_frames > 0:
             frames_real = np.minimum(
                 frames_real,
                 header.total_frames - np.arange(n, dtype=np.int64) * fpc,
-            )
-        for start in range(0, n, device_batch):
-            end = min(start + device_batch, n)
-            outs.append(
-                decode_chunks_packed(
-                    jnp.asarray(batch.res_bytes[start:end]),
-                    jnp.asarray(batch.sf[start:end]),
-                    jnp.asarray(batch.rs[start:end]),
-                    jnp.asarray(batch.hist[start:end]),
-                    jnp.asarray(batch.wts[start:end]),
-                    dqt_cache[sfb],
-                    scale_factor_frames=batch.scale_factor_frames,
-                    frames=fpc,
-                    residual_size=batch.residual_size,
-                    use_pallas=default_use_pallas(),
-                )
             )
     tail_part = None
     if tail:
@@ -729,7 +763,7 @@ def _stage_file(encoded: bytes, device_batch: int, dqt_cache: dict):
         chunk = SeaChunk.from_bytes(tail, header, remaining)
         model = DecoderModel(header.channels, chunk.scale_factor_bits)
         tail_part = model.decode_chunk(chunk)
-    return (header, outs, frames_real, tail_part, fpc)
+    return (header, batch, frames_real, tail_part, fpc)
 
 
 # Backwards-compatible helper used by the parallel tests: parsed arrays with
