@@ -70,6 +70,19 @@ def main() -> None:
     ratio = 2 * n_samples / len(encoded)
     log(f"encode: {t_enc:.2f}s = {enc_msps:.2f} Msamples/s, ratio {ratio:.2f}x")
 
+    # ---- corpus encode (lane-packed: many files in parallel) ----
+    from sea_codec_tpu.batch import encode_corpus
+
+    corpus_files = [samples[: 16 * fpc * channels]] * 32
+    encode_corpus(corpus_files, TEST_SAMPLE_RATE, channels, settings)  # compile
+    t0 = time.perf_counter()
+    corpus_out = encode_corpus(corpus_files, TEST_SAMPLE_RATE, channels, settings)
+    t_corpus = time.perf_counter() - t0
+    corpus_samples = sum(f.shape[0] for f in corpus_files)
+    corpus_msps = corpus_samples / t_corpus / 1e6
+    assert corpus_out[0] == corpus_out[31]
+    log(f"corpus encode (32 stereo files): {t_corpus:.2f}s = {corpus_msps:.1f} Msamples/s")
+
     # ---- correctness + quality ----
     decoded = decode_sea(encoded)
     assert decoded.samples.shape[0] == n_samples
@@ -133,6 +146,7 @@ def main() -> None:
                 "vs_baseline": round(dev_msps / baseline_per_chip, 3),
                 "end_to_end_decode_Msps": round(e2e_msps, 2),
                 "encode_Msps": round(enc_msps, 2),
+                "corpus_encode_Msps": round(corpus_msps, 2),
                 "compression_ratio": round(ratio, 2),
                 "psnr_db": round(psnr, 1),
                 "n_samples": n_samples, "n_decode_samples": n_dec_samples,
