@@ -1,0 +1,65 @@
+"""Conformance with the reference's published bitrate/compression table
+(web/index.html:80-88): CBR bitrate b yields ~(b + 0.2) bits/sample.
+"""
+
+import numpy as np
+import pytest
+
+from sea_codec_tpu import EncoderSettings, sea_encode
+from sea_codec_tpu.utils.signal import TEST_SAMPLE_RATE, gen_test_signal
+
+# bitrate -> (published bits/sample, published compression ratio)
+PUBLISHED = {
+    1: (1.2, 13.3),
+    2: (2.2, 7.3),
+    3: (3.2, 5.0),
+    4: (4.2, 3.8),
+    5: (5.2, 3.1),
+    6: (6.2, 2.6),
+    7: (7.2, 2.2),
+    8: (8.2, 2.0),
+}
+
+
+@pytest.mark.parametrize("bitrate", sorted(PUBLISHED))
+def test_cbr_bits_per_sample_match_published(bitrate):
+    samples = gen_test_signal(2, 100000)
+    samples = samples[: (samples.shape[0] // 2) * 2]
+    encoded = sea_encode(
+        samples, TEST_SAMPLE_RATE, 2, EncoderSettings(residual_bits=float(bitrate))
+    )
+    bps = len(encoded) * 8 / samples.shape[0]
+    ratio = samples.shape[0] * 2 / len(encoded)
+    pub_bps, pub_ratio = PUBLISHED[bitrate]
+    assert abs(bps - pub_bps) < 0.1, (bitrate, bps)
+    assert abs(ratio - pub_ratio) / pub_ratio < 0.05, (bitrate, ratio)
+
+
+def test_fuzz_decoder_never_crashes():
+    """Garbage and truncated inputs raise SeaError (or decode), never crash."""
+    from sea_codec_tpu import SeaError, sea_decode
+    from sea_codec_tpu.batch import decode_sea
+
+    rng = np.random.default_rng(0)
+    samples = gen_test_signal(1, 3000)
+    valid = sea_encode(samples, TEST_SAMPLE_RATE, 1, EncoderSettings(frames_per_chunk=1000))
+    cases = [
+        b"",
+        b"seac",
+        valid[:21],
+        valid[:40],
+        bytes(rng.integers(0, 256, size=200, dtype=np.uint8)),
+        b"seac" + bytes(rng.integers(0, 256, size=100, dtype=np.uint8)),
+    ]
+    # bit-flipped valid streams
+    for _ in range(10):
+        b = bytearray(valid)
+        for _ in range(5):
+            b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+        cases.append(bytes(b))
+    for data in cases:
+        for fn in (sea_decode, decode_sea):
+            try:
+                fn(data)
+            except (SeaError, AssertionError):
+                pass  # rejected cleanly

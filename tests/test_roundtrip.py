@@ -52,3 +52,18 @@ def test_parameters(channels, scale_factor_bits, residual_bits):
     assert decoded.samples.shape == samples.shape
     rms, psnr = audio_quality(samples, decoded.samples)
     assert psnr < -20.0, (channels, scale_factor_bits, residual_bits, rms, psnr)
+
+
+@pytest.mark.parametrize("scale_factor_bits", [1, 2, 6, 8])
+def test_extreme_scale_factor_bits(scale_factor_bits):
+    """The API (unlike the CLI) allows sfb outside 3..5; round trips hold."""
+    samples = gen_test_signal(2, 6000)
+    samples = samples[: (samples.shape[0] // 2) * 2]
+    settings = EncoderSettings(
+        scale_factor_bits=scale_factor_bits, frames_per_chunk=1000
+    )
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, 2, settings)
+    decoded = sea_decode(encoded)
+    assert decoded.samples.shape == samples.shape
+    _, psnr = audio_quality(samples, decoded.samples)
+    assert psnr < -15.0, (scale_factor_bits, psnr)
