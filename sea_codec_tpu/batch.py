@@ -69,7 +69,7 @@ def parse_full_chunks(body: np.ndarray, header: SeaFileHeader) -> ParsedBatch:
     sfb = int(body[0, 1]) >> 4
     residual_size = int(body[0, 1]) & 0x0F
     sff = int(body[0, 2])
-    if not 1 <= residual_size <= 8 or sff == 0:
+    if not 1 <= sfb <= 8 or not 1 <= residual_size <= 8 or sff == 0:
         raise SeaInvalidFrame("bad chunk config")
 
     pos = 4

@@ -204,6 +204,8 @@ class SeaChunk:
             raise SeaInvalidFrame(f"bad chunk type {chunk_type:#x}")
         scale_factor_bits = encoded[1] >> 4
         residual_size = encoded[1] & 0x0F
+        if not 1 <= scale_factor_bits <= 8:
+            raise SeaInvalidFrame(f"bad scale factor bits {scale_factor_bits}")
         if not 1 <= residual_size <= 8:
             raise SeaInvalidFrame(f"bad residual size {residual_size}")
         scale_factor_frames = encoded[2]

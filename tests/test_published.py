@@ -51,6 +51,14 @@ def test_fuzz_decoder_never_crashes():
         bytes(rng.integers(0, 256, size=200, dtype=np.uint8)),
         b"seac" + bytes(rng.integers(0, 256, size=100, dtype=np.uint8)),
     ]
+    # corrupt chunk-config bytes specifically (sfb/rs nibbles, sff byte)
+    for byte_val in (0x00, 0x0F, 0xF0, 0xFF):
+        b = bytearray(valid)
+        b[22 + 1] = byte_val  # chunk config byte of the first chunk
+        cases.append(bytes(b))
+        b2 = bytearray(valid)
+        b2[22 + 2] = 0  # zero scale_factor_frames
+        cases.append(bytes(b2))
     # bit-flipped valid streams
     for _ in range(10):
         b = bytearray(valid)
