@@ -65,6 +65,14 @@ class SeaEncoder:
             raise SeaInvalidParameters("scale_factor_bits must be 1..=8")
         if not 1.0 <= settings.residual_bits <= 8.0:
             raise SeaInvalidParameters("residual_bits must be in 1..=8")
+        if total_frames is not None and total_frames > 0xFFFFFFFF:
+            from .utils.errors import SeaTooManyFrames
+
+            raise SeaTooManyFrames("total_frames exceeds the u32 header field")
+        if len(settings.metadata.encode("utf-8")) > 0xFFFFFFFF:
+            from .utils.errors import SeaMetadataTooLarge
+
+            raise SeaMetadataTooLarge("metadata exceeds the u32 size field")
 
         self.settings = settings
         self.reader = reader
