@@ -119,15 +119,20 @@ def split_chunks(encoded: bytes):
 
     n_avail = len(body) // cs
     if total_frames > 0:
-        n_needed = -(-total_frames // fpc)
+        # Only chunks holding exactly frames_per_chunk frames are "full";
+        # a ragged final chunk can still occupy chunk_size bytes (and when a
+        # file's FIRST chunk is ragged, chunk_size IS the ragged size), so
+        # the rectangular path must be gated on frame count, not byte count.
+        n_full = min(n_avail, total_frames // fpc)
+        has_tail = total_frames % fpc != 0
     else:
-        n_needed = n_avail  # streaming: only whole chunks are decodable
-    n_full = min(n_avail, n_needed)
+        n_full = n_avail  # streaming: only whole chunks are decodable
+        has_tail = False
     rect = None
     if n_full:
         rect = np.frombuffer(body[: n_full * cs], dtype=np.uint8).reshape(n_full, cs)
     tail = b""
-    if total_frames > 0 and n_full < n_needed:
+    if has_tail:
         tail = body[n_full * cs :]
     return header, rect, tail
 
@@ -283,10 +288,12 @@ def encode_sea(
     )
     residual_size = int(np.floor(settings.residual_bits))
     if settings.vbr:
+        from .models.vbr import vbr_base
+
         target0 = normalized_vbr_bitrate(settings.residual_bits, fpc, sfb, sff)
         # anchor the VBR delta base (see models/vbr.py on the reference's
         # corrupt-stream bug for high-overhead configs)
-        residual_size = min(residual_size, int(target0) + 1)
+        residual_size = min(residual_size, vbr_base(target0) + 1)
 
     hist = lms_ops.initial_history(c)
     wts = lms_ops.initial_weights(c)
@@ -297,8 +304,10 @@ def encode_sea(
         # int16 on the wire; widened on device (halves the upload)
         x = samples[: nc_full * fpc * c].reshape(nc_full, fpc, c)
         if settings.vbr:
+            from .models.vbr import vbr_base
+
             target = normalized_vbr_bitrate(settings.residual_bits, fpc, sfb, sff)
-            base = int(target)
+            base = vbr_base(target)
             sortable = (fpc * c) // sff
             m1, _t, p1, p2 = interpolate_distribution(sortable, target)
             sf, codes, sizes, ehist, ewts, hist_j, wts_j, prev_j = encode_file_vbr(
@@ -426,8 +435,10 @@ def encode_corpus(
     w = fpc // sff
     residual_size = int(np.floor(settings.residual_bits))
     if settings.vbr:
+        from .models.vbr import vbr_base
+
         target = normalized_vbr_bitrate(settings.residual_bits, fpc, sfb, sff)
-        base = int(target)
+        base = vbr_base(target)
         residual_size = min(residual_size, base + 1)  # delta anchor (models/vbr.py)
         sortable = (fpc * c) // sff
         m1, _t, p1, p2 = interpolate_distribution(sortable, target)

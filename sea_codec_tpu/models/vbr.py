@@ -82,6 +82,13 @@ def interpolate_distribution(items: int, target_rate: np.float32) -> tuple[int, 
     return res[0], res[1], res[2], res[3]
 
 
+def vbr_base(target: np.float32) -> int:
+    """trunc-to-u8 with saturation, matching Rust `f32 as u8`
+    (``encoder_vbr.rs:108,140``): tiny-chunk/high-overhead configs can push
+    the normalized target negative; Rust saturates to 0."""
+    return int(np.clip(np.trunc(np.float32(target)), 0, 255))
+
+
 class VbrEncoderModel:
     def __init__(
         self,
@@ -105,7 +112,7 @@ class VbrEncoderModel:
         # more than 1 below it (negative deltas, silently wrapped). We anchor
         # at min(floor(residual_bits), base + 1): byte-identical wherever the
         # reference is correct, valid everywhere.
-        base = int(self.vbr_target_bitrate)
+        base = vbr_base(self.vbr_target_bitrate)
         self.chunk_residual_size = min(int(np.floor(residual_bits)), base + 1)
         self.kernel = EncoderKernel(channels, scale_factor_bits, scale_factor_frames)
         self.state = EncoderBaseState(channels)
@@ -121,23 +128,26 @@ class VbrEncoderModel:
         sortable = input_len // sff
         indices = np.argsort(errors[:sortable], kind="stable")
         m1, _, p1, p2 = interpolate_distribution(sortable, self.vbr_target_bitrate)
-        base = int(self.vbr_target_bitrate)  # trunc, reference :108
-        sizes = np.full(errors.shape[0], base, dtype=np.uint8)
-        sizes[indices[:m1]] = base - 1
-        sizes[indices[sortable - p2 - p1 : sortable - p2]] = base + 1
-        sizes[indices[sortable - p2 :]] = base + 2
+        base = vbr_base(self.vbr_target_bitrate)  # trunc-saturating, reference :108
+        sizes = np.full(errors.shape[0], base, dtype=np.int32)
+        if m1:
+            sizes[indices[:m1]] = base - 1
+        if p1:
+            sizes[indices[sortable - p2 - p1 : sortable - p2]] = base + 1
+        if p2:
+            sizes[indices[sortable - p2 :]] = base + 2
         # Residual sizes are clamped to 1..8. The reference panics when the
         # distribution assigns base+2 = 9 (VBR at target 8.0) or base = 0
         # (tiny chunks where overhead compensation exceeds the target); such
         # sizes are not representable in the format. Clamping is a deliberate
         # divergence that keeps every settings combination usable.
-        return np.clip(sizes, 1, 8)
+        return np.clip(sizes, 1, 8).astype(np.uint8)
 
     def encode(self, samples: np.ndarray) -> EncodedSamples:
         c = self.channels
         frames = samples.shape[0] // c
         w_real = -(-frames // self.scale_factor_frames)
-        base = int(self.vbr_target_bitrate)
+        base = vbr_base(self.vbr_target_bitrate)
 
         # Pass 1: analyze at base+1 bits; restore LMS, keep prev_sf.
         rs1 = np.full((w_real, c), base + 1, dtype=np.int32)

@@ -353,7 +353,7 @@ std::vector<uint8_t> choose_residual_sizes(size_t input_len, size_t sff, float t
                      [&](uint32_t a, uint32_t b) { return errors[a] < errors[b]; });
     size_t dist[4];
     interpolate_distribution(sortable, target, dist);
-    uint8_t base = (uint8_t)target;
+    uint8_t base = target <= 0.f ? 0 : (target >= 255.f ? 255 : (uint8_t)target);
     std::vector<uint8_t> sizes(errors.size(), base);
     for (size_t i = 0; i < dist[0]; i++) sizes[idx[i]] = base - 1;
     for (size_t i = sortable - dist[3] - dist[2]; i < sortable - dist[3]; i++)
@@ -392,7 +392,7 @@ void serialize_chunk(std::vector<uint8_t>& out, const EncoderState& st,
         // anchor the delta base so 2-bit deltas stay in 0..3 (the reference
         // writes corrupt streams for high-overhead configs; see models/vbr.py)
         float target = normalized_vbr_bitrate(cfg.residual_bits, cfg.fpc, cfg.sfb, cfg.sff);
-        int base = (int)target;
+        int base = target <= 0.f ? 0 : (target >= 255.f ? 255 : (int)target);
         if (residual_size > base + 1) residual_size = base + 1;
     }
     out.push_back((uint8_t)((cfg.sfb << 4) | residual_size));
@@ -466,7 +466,8 @@ int sea_native_encode(const int16_t* samples, uint64_t n_samples, uint32_t chann
 
     int residual_size = (int)floorf(residual_bits);
     float vbr_target = normalized_vbr_bitrate(residual_bits, fpc, sfb, sff);
-    uint8_t vbr_base = (uint8_t)vbr_target;
+    // trunc-to-u8 with saturation (Rust `f32 as u8` semantics)
+    uint8_t vbr_base = vbr_target <= 0.f ? 0 : (vbr_target >= 255.f ? 255 : (uint8_t)vbr_target);
 
     for (uint64_t start = 0; start < total_frames; start += fpc) {
         size_t n_frames = (size_t)std::min<uint64_t>(fpc, total_frames - start);

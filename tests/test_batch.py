@@ -107,3 +107,31 @@ def test_encode_corpus_cpu_fallback():
     out = encode_corpus(files, TEST_SAMPLE_RATE, 2, settings)
     for f, enc in zip(files, out):
         assert enc == sea_encode(f, TEST_SAMPLE_RATE, 2, settings)
+
+
+@pytest.mark.parametrize(
+    "channels,sfb,sff,rb,fpc,vbr,frames",
+    [
+        (5, 5, 2, 3.0, 1000, False, 792),   # single ragged chunk, byte-size == chunk_size
+        (8, 3, 4, 2.5, 640, True, 194),     # VBR sub-chunk file
+        (5, 5, 8, 8.0, 5120, True, 3694),   # VBR max bitrate, ragged
+        (5, 4, 4, 2.0, 200, True, 8096),    # negative normalized base (saturates to 0)
+    ],
+)
+def test_fuzz_regressions(channels, sfb, sff, rb, fpc, vbr, frames):
+    """Edge configs found by differential fuzzing (see git history)."""
+    from sea_codec_tpu.batch import encode_sea
+
+    rng = np.random.default_rng(frames)
+    samples = (np.sin(np.arange(frames * channels) * 0.01) * 20000).astype(np.int16)
+    settings = EncoderSettings(
+        scale_factor_bits=sfb, scale_factor_frames=sff,
+        residual_bits=rb, frames_per_chunk=fpc, vbr=vbr,
+    )
+    a = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings)
+    c = encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)
+    assert a == c
+    d1 = np.asarray(sea_decode(a).samples)
+    d3 = np.asarray(decode_sea(a).samples)
+    np.testing.assert_array_equal(d1, d3)
+    assert d1.shape[0] == frames * channels
