@@ -200,6 +200,16 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
     )
 
 
+def _check_chunk_size(n: int) -> None:
+    if n > 0xFFFF:
+        from .utils.errors import SeaInvalidParameters
+
+        raise SeaInvalidParameters(
+            "chunk serializes to more than 65535 bytes (u16 chunk_size field);"
+            " reduce frames_per_chunk, channels, or bitrate"
+        )
+
+
 def serialize_full_chunks(
     sf: np.ndarray,  # uint8[nc, w, C]
     codes: np.ndarray,  # uint8[nc, fpc, C]
@@ -393,6 +403,7 @@ def encode_sea(
         chunks.append(chunk.serialize())
 
     if chunks:
+        _check_chunk_size(len(chunks[0]))
         header.chunk_size = len(chunks[0])
     return header.serialize() + b"".join(chunks)
 
@@ -580,6 +591,7 @@ def encode_corpus(
                     )
                 chunks.append(chunk.serialize())
             if chunks:
+                _check_chunk_size(len(chunks[0]))
                 header.chunk_size = len(chunks[0])
             results[i] = header.serialize() + b"".join(chunks)
     return results

@@ -130,6 +130,13 @@ class SeaEncoder:
             residuals=encoded.residuals,
         )
         out = chunk.serialize()
+        if len(out) > 0xFFFF:
+            raise SeaInvalidParameters(
+                "chunk serializes to more than 65535 bytes (the chunk_size "
+                "header field is u16; the reference silently truncates and "
+                "corrupts such files) -- reduce frames_per_chunk, channels, "
+                "or bitrate"
+            )
         if self.header.chunk_size == 0:
             self.header.chunk_size = len(out)
         if frames == self.header.frames_per_chunk:

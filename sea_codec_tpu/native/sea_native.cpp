@@ -490,6 +490,7 @@ int sea_native_encode(const int16_t* samples, uint64_t n_samples, uint32_t chann
         }
         std::vector<uint8_t> chunk;
         serialize_chunk(chunk, st, entry_lms, cfg, n_frames, sf, codes, vbr_sizes);
+        if (chunk.size() > 0xFFFF) return 3;  // u16 chunk_size overflow
         if (chunk_size == 0) chunk_size = (uint16_t)chunk.size();
         body.insert(body.end(), chunk.begin(), chunk.end());
     }
