@@ -1,4 +1,10 @@
-"""One-shot convenience API (reference ``src/lib.rs:13-63``)."""
+"""One-shot convenience API (reference ``src/lib.rs:13-63``).
+
+By default these delegate to the fast batch paths (whole-file single-program
+encode, chunk-parallel decode); ``engine="session"`` routes through the
+streaming sessions instead (chunk-at-a-time, mirroring the reference's
+control flow). Both engines produce byte-identical output (tested).
+"""
 
 from __future__ import annotations
 
@@ -20,6 +26,7 @@ def sea_encode(
     sample_rate: int,
     channels: int,
     settings: "EncoderSettings | None" = None,
+    engine: str = "auto",
 ) -> bytes:
     """Encode interleaved i16 samples to ``.sea`` bytes."""
     from .encoder import EncoderSettings, SeaEncoder
@@ -27,6 +34,11 @@ def sea_encode(
     if settings is None:
         settings = EncoderSettings()
     samples = np.asarray(input_samples, dtype=np.int16)
+    if engine in ("auto", "batch"):
+        from .batch import encode_sea
+
+        return encode_sea(samples, sample_rate, channels, settings)
+    assert engine == "session", engine
     reader = io.BytesIO(samples.astype("<i2").tobytes())
     writer = io.BytesIO()
     enc = SeaEncoder(
@@ -38,8 +50,13 @@ def sea_encode(
     return writer.getvalue()
 
 
-def sea_decode(encoded: bytes) -> SeaDecodeInfo:
+def sea_decode(encoded: bytes, engine: str = "auto") -> SeaDecodeInfo:
     """Decode ``.sea`` bytes to interleaved i16 samples."""
+    if engine in ("auto", "batch"):
+        from .batch import decode_sea
+
+        return decode_sea(encoded)
+    assert engine == "session", engine
     from .decoder import SeaDecoder
 
     reader = io.BytesIO(encoded)

@@ -195,6 +195,11 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
     samples = (
         np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
     )
+    if total_frames > 0 and samples.shape[0] < total_frames * c:
+        raise SeaInvalidFrame(
+            f"stream truncated: decoded {samples.shape[0] // c} of "
+            f"{total_frames} frames"
+        )
     return SeaDecodeInfo(
         samples=samples, sample_rate=header.sample_rate, channels=header.channels
     )
@@ -750,6 +755,12 @@ def decode_corpus(
         if tail_part is not None:
             parts.append(tail_part)
         samples = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
+        c = header.channels
+        if header.total_frames > 0 and samples.shape[0] < header.total_frames * c:
+            if on_error == "skip":
+                results.append(None)
+                continue
+            raise SeaInvalidFrame("stream truncated")
         results.append(
             SeaDecodeInfo(
                 samples=samples,

@@ -18,9 +18,9 @@ def test_batch_matches_session(vbr, channels, frames):
     settings = EncoderSettings(
         frames_per_chunk=1000, residual_bits=2.5 if vbr else 3.0, vbr=vbr
     )
-    encoded = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings)
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings, engine="session")
 
-    session = sea_decode(encoded)
+    session = sea_decode(encoded, engine="session")
     batched = decode_sea(encoded, device_batch=4)
     np.testing.assert_array_equal(np.asarray(batched.samples), np.asarray(session.samples))
     assert batched.sample_rate == session.sample_rate
@@ -50,7 +50,7 @@ def test_fast_encode_matches_session(vbr, channels, frames):
     settings = EncoderSettings(
         frames_per_chunk=1000, residual_bits=2.5 if vbr else 3.0, vbr=vbr
     )
-    session = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings)
+    session = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings, engine="session")
     fast = encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)
     assert fast == session
 
