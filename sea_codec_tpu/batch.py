@@ -290,7 +290,7 @@ def encode_sea(
     sfb = settings.scale_factor_bits
     frames = samples.shape[0] // c
     nc_full = frames // fpc
-    use_pallas = default_use_pallas() and c <= 128
+    use_pallas = default_use_pallas() and c <= 128 and sfb <= 7
 
     header = SeaFileHeader(
         version=1,
@@ -436,7 +436,11 @@ def encode_corpus(
         settings = EncoderSettings()
     from .ops.device_decode import default_use_pallas
 
-    if not default_use_pallas() or channels > 128:
+    if (
+        not default_use_pallas()
+        or channels > 128
+        or settings.scale_factor_bits > 7
+    ):
         return [encode_sea(f, sample_rate, channels, settings) for f in files]
 
     import jax

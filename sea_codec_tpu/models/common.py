@@ -60,7 +60,11 @@ class EncoderKernel:
         if use_pallas is None:
             from ..ops.device_decode import default_use_pallas
 
-            use_pallas = default_use_pallas() and channels <= 128
+            # sfb=8 (256 candidate sublanes) exceeds the kernel's VMEM
+            # budget; that API-only config uses the XLA path.
+            use_pallas = (
+                default_use_pallas() and channels <= 128 and scale_factor_bits <= 7
+            )
         self.use_pallas = use_pallas
         self.dqt_flat = jnp.asarray(
             tables.dqt_stacked(scale_factor_bits).reshape(-1), dtype=jnp.int32
