@@ -275,7 +275,7 @@ def encode_sea(
     the session encoder / one-shot API."""
     import jax.numpy as jnp
 
-    from .encoder import EncoderSettings
+    from .encoder import EncoderSettings, validate_encode_params
     from .models.vbr import interpolate_distribution, normalized_vbr_bitrate
     from .ops import lms as lms_ops
     from .ops.device_decode import default_use_pallas
@@ -284,6 +284,7 @@ def encode_sea(
     if settings is None:
         settings = EncoderSettings()
     samples = np.asarray(samples, dtype=np.int16)
+    validate_encode_params(channels, settings, samples.shape[0] // max(channels, 1))
     c = channels
     fpc = settings.frames_per_chunk
     sff = settings.scale_factor_frames
@@ -430,10 +431,11 @@ def encode_corpus(
     data-dependent) is encoded by the per-chunk model seeded with the carried
     state. Requires a TPU backend; falls back to per-file encoding otherwise.
     """
-    from .encoder import EncoderSettings
+    from .encoder import EncoderSettings, validate_encode_params
 
     if settings is None:
         settings = EncoderSettings()
+    validate_encode_params(channels, settings)
     from .ops.device_decode import default_use_pallas
 
     if (

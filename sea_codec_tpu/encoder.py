@@ -43,6 +43,33 @@ class _State(Enum):
     FINISHED = 2
 
 
+def validate_encode_params(
+    channels: int, settings: EncoderSettings, total_frames: int | None = None
+) -> None:
+    """Shared parameter validation for every encode engine (session, batch,
+    corpus) -- the reference rejects these in ``SeaEncoder``/CLI; the fast
+    engines must fail with the same ``SeaError`` surface, not internal
+    shape errors."""
+    if not (1 <= channels <= 255):
+        raise SeaInvalidParameters("channels must be 1..=255")
+    if settings.frames_per_chunk <= 0 or settings.scale_factor_frames <= 0:
+        raise SeaInvalidParameters("frames_per_chunk/scale_factor_frames must be > 0")
+    if settings.frames_per_chunk % settings.scale_factor_frames != 0:
+        raise SeaInvalidParameters("scale_factor_frames must divide frames_per_chunk")
+    if not 1 <= settings.scale_factor_bits <= 8:
+        raise SeaInvalidParameters("scale_factor_bits must be 1..=8")
+    if not 1.0 <= settings.residual_bits <= 8.0:
+        raise SeaInvalidParameters("residual_bits must be in 1..=8")
+    if total_frames is not None and total_frames > 0xFFFFFFFF:
+        from .utils.errors import SeaTooManyFrames
+
+        raise SeaTooManyFrames("total_frames exceeds the u32 header field")
+    if len(settings.metadata.encode("utf-8")) > 0xFFFFFFFF:
+        from .utils.errors import SeaMetadataTooLarge
+
+        raise SeaMetadataTooLarge("metadata exceeds the u32 size field")
+
+
 class SeaEncoder:
     def __init__(
         self,
@@ -53,26 +80,7 @@ class SeaEncoder:
         reader,
         writer,
     ):
-        if not (1 <= channels <= 255):
-            raise SeaInvalidParameters("channels must be 1..=255")
-        if settings.frames_per_chunk <= 0 or settings.scale_factor_frames <= 0:
-            raise SeaInvalidParameters("frames_per_chunk/scale_factor_frames must be > 0")
-        if settings.frames_per_chunk % settings.scale_factor_frames != 0:
-            raise SeaInvalidParameters(
-                "scale_factor_frames must divide frames_per_chunk"
-            )
-        if not 1 <= settings.scale_factor_bits <= 8:
-            raise SeaInvalidParameters("scale_factor_bits must be 1..=8")
-        if not 1.0 <= settings.residual_bits <= 8.0:
-            raise SeaInvalidParameters("residual_bits must be in 1..=8")
-        if total_frames is not None and total_frames > 0xFFFFFFFF:
-            from .utils.errors import SeaTooManyFrames
-
-            raise SeaTooManyFrames("total_frames exceeds the u32 header field")
-        if len(settings.metadata.encode("utf-8")) > 0xFFFFFFFF:
-            from .utils.errors import SeaMetadataTooLarge
-
-            raise SeaMetadataTooLarge("metadata exceeds the u32 size field")
+        validate_encode_params(channels, settings, total_frames)
 
         self.settings = settings
         self.reader = reader

@@ -13,6 +13,7 @@ import numpy as np
 from ..container import CHUNK_TYPE_VBR, SeaChunk
 from ..ops import tables
 from ..ops.device_decode import decode_chunks
+from ..utils.errors import SeaInvalidFrame
 
 
 class DecoderModel:
@@ -25,7 +26,11 @@ class DecoderModel:
 
     def decode_chunk(self, chunk: SeaChunk) -> np.ndarray:
         """Decode one chunk -> int16[frames * channels] interleaved."""
-        assert chunk.scale_factor_bits == self.scale_factor_bits
+        if chunk.scale_factor_bits != self.scale_factor_bits:
+            raise SeaInvalidFrame(
+                "chunk scale_factor_bits "
+                f"{chunk.scale_factor_bits} != stream {self.scale_factor_bits}"
+            )
         c = self.channels
         f = chunk.frames_in_chunk
         w = -(-f // chunk.scale_factor_frames)

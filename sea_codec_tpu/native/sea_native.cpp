@@ -50,7 +50,9 @@ inline int16_t clamp_i16(int32_t v) {
 const float IDEAL_POW_FACTOR[8] = {12.0f, 11.65f, 11.20f, 10.58f, 9.64f, 8.75f, 7.66f, 6.63f};
 
 struct Tables {
-    int sfb = 0;
+    // -1 = unbuilt sentinel: build_tables(sfb) can never alias the unbuilt
+    // state (sfb is validated 1..8 before every build, but keep the guard).
+    int sfb = -1;
     // per residual size 1..8 (index 0 unused)
     std::vector<int32_t> scale_factors[9];
     std::vector<int32_t> reciprocals[9];
@@ -555,7 +557,7 @@ int sea_native_decode(const uint8_t* data, uint64_t len, int16_t* out,
         int residual_size = c[1] & 0x0F;
         int sff = c[2];
         if ((chunk_type != 1 && chunk_type != 2) || residual_size < 1 || residual_size > 8 ||
-            sff == 0)
+            sfb < 1 || sfb > 8 || sff == 0)
             return 2;
         build_tables(tables, sfb);
         size_t cpos = 4;

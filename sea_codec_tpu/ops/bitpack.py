@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.errors import SeaInvalidFrame
+
 
 def pack_bits(values: np.ndarray, widths: np.ndarray | int) -> np.ndarray:
     """Pack ``values[i]`` into ``widths[i]`` bits, MSB-first. Returns uint8[].
@@ -62,7 +64,11 @@ def unpack_bits(data: np.ndarray, widths: np.ndarray | int, count: int | None = 
         w = int(widths)
         n = total_bits // w
         if count is not None:
-            assert count <= n, (count, n)
+            if count > n:
+                raise SeaInvalidFrame(
+                    f"bitstream too short: {count} items of {w} bits from "
+                    f"{total_bits} bits"
+                )
             n = count
         widths = np.full(n, w, dtype=np.int64)
     else:
@@ -73,7 +79,11 @@ def unpack_bits(data: np.ndarray, widths: np.ndarray | int, count: int | None = 
 
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(widths[:-1], out=offsets[1:])
-    assert offsets[-1] + widths[-1] <= total_bits
+    if offsets[-1] + widths[-1] > total_bits:
+        raise SeaInvalidFrame(
+            f"bitstream too short: need {int(offsets[-1] + widths[-1])} bits, "
+            f"have {total_bits}"
+        )
 
     bits = np.unpackbits(data, bitorder="big").astype(np.uint32)
     # item i = fold of bits[offsets[i] .. offsets[i]+w_i), MSB-first.

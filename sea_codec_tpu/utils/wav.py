@@ -27,6 +27,18 @@ def _saturate_i16(x: np.ndarray) -> np.ndarray:
     return np.clip(x, -32768, 32767).astype(np.int16)
 
 
+def _round_half_away_f32(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero in float32 -- the semantics of Rust's
+    ``f32::round`` used by the reference converter (``tests/wav.rs:20-41``).
+    ``np.round`` is half-to-even and differs on exact .5 values."""
+    x = x.astype(np.float32, copy=False)
+    return np.where(
+        x >= 0,
+        np.floor(x + np.float32(0.5)),
+        np.ceil(x - np.float32(0.5)),
+    )
+
+
 def read_wav(path: str) -> Wave:
     with open(path, "rb") as f:
         data = f.read()
@@ -67,16 +79,16 @@ def read_wav(path: str) -> Wave:
             )
             s32 = np.where(s32 >= 1 << 23, s32 - (1 << 24), s32)
             f = s32.astype(np.float32) / np.float32(1 << 23)
-            samples = _saturate_i16(np.round(f * np.float32(32767.0)))
+            samples = _saturate_i16(_round_half_away_f32(f * np.float32(32767.0)))
         elif bits == 32:
             s32 = np.frombuffer(payload, dtype="<i4")
             f = s32.astype(np.float32) / np.float32(2147483647)
-            samples = _saturate_i16(np.round(f * np.float32(32767.0)))
+            samples = _saturate_i16(_round_half_away_f32(f * np.float32(32767.0)))
         else:
             raise ValueError(f"unsupported PCM bit depth: {bits}")
     elif audio_format == 3 and bits == 32:  # IEEE float
         f = np.frombuffer(payload, dtype="<f4")
-        samples = _saturate_i16(np.round(f * np.float32(32767.0)))
+        samples = _saturate_i16(_round_half_away_f32(f * np.float32(32767.0)))
     else:
         raise ValueError(f"unsupported format {audio_format} with {bits} bits")
 

@@ -135,3 +135,30 @@ def test_fuzz_regressions(channels, sfb, sff, rb, fpc, vbr, frames):
     d3 = np.asarray(decode_sea(a).samples)
     np.testing.assert_array_equal(d1, d3)
     assert d1.shape[0] == frames * channels
+
+
+@pytest.mark.parametrize(
+    "channels,kwargs",
+    [
+        (300, {}),
+        (0, {}),
+        (2, dict(scale_factor_bits=9)),
+        (2, dict(scale_factor_bits=0)),
+        (2, dict(residual_bits=0.5)),
+        (2, dict(residual_bits=9.0)),
+        (2, dict(scale_factor_frames=7)),  # does not divide frames_per_chunk
+        (2, dict(frames_per_chunk=0)),
+    ],
+)
+def test_batch_engines_validate_parameters(channels, kwargs):
+    """The fast batch engines must reject invalid parameters with the same
+    SeaError surface as the session engine (advisor finding, round 1)."""
+    from sea_codec_tpu.batch import encode_corpus, encode_sea
+    from sea_codec_tpu.utils.errors import SeaInvalidParameters
+
+    settings = EncoderSettings(**kwargs)
+    samples = np.zeros(600 * max(channels, 1), dtype=np.int16)
+    with pytest.raises(SeaInvalidParameters):
+        encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)
+    with pytest.raises(SeaInvalidParameters):
+        encode_corpus([samples], TEST_SAMPLE_RATE, channels, settings)

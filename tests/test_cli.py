@@ -142,3 +142,31 @@ def test_batch_cli_roundtrip(tmp_path):
     for name, s in sigs.items():
         out = read_wav(str(wavdir / f"{name}.wav"))
         assert out.samples.shape == s.shape
+
+
+def test_wav_float_conversion_rounds_half_away(tmp_path):
+    """Exact .5 scaled values must round away from zero (Rust f32::round),
+    not half-to-even (advisor finding, round 1). k/65534 for odd k lands
+    exactly on x.5 after the f32 multiply by 32767."""
+    import struct
+
+    vals = np.array(
+        [k / 65534.0 for k in (1, 3, 5, 7, 9)]
+        + [-k / 65534.0 for k in (1, 3, 5, 7, 9)],
+        dtype=np.float32,
+    )
+    payload = vals.astype("<f4").tobytes()
+    p = tmp_path / "f32.wav"
+    with open(p, "wb") as f:
+        f.write(b"RIFF")
+        f.write((36 + len(payload)).to_bytes(4, "little"))
+        f.write(b"WAVE" b"fmt ")
+        f.write((16).to_bytes(4, "little"))
+        f.write(struct.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32))
+        f.write(b"data")
+        f.write(len(payload).to_bytes(4, "little"))
+        f.write(payload)
+    wave = read_wav(str(p))
+    np.testing.assert_array_equal(
+        wave.samples, np.array([1, 2, 3, 4, 5, -1, -2, -3, -4, -5], dtype=np.int16)
+    )

@@ -85,3 +85,33 @@ def test_native_roundtrip_configs():
                 ),
             )
             assert enc == ours
+
+
+def test_native_decode_rejects_corrupt_config_bytes():
+    """Hardening: corrupted chunk-config bytes (incl. sfb=0, the round-1
+    advisor's segfault repro) must return a clean error, never crash."""
+    samples = gen_test_signal(1, 3000)
+    valid = sea_encode(
+        samples, TEST_SAMPLE_RATE, 1, EncoderSettings(frames_per_chunk=1000)
+    )
+    rng = np.random.default_rng(7)
+    cases = []
+    # chunk config byte: (sfb << 4) | residual_size.  0x01 = sfb 0 (OOB DQT
+    # read in the unguarded decoder), 0x00/0x0F/0xF0/0xFF sweep both nibbles.
+    for byte_val in (0x01, 0x00, 0x0F, 0xF0, 0xFF, 0x91, 0x19):
+        b = bytearray(valid)
+        b[22 + 1] = byte_val
+        cases.append(bytes(b))
+    b = bytearray(valid)
+    b[22 + 2] = 0  # zero scale_factor_frames
+    cases.append(bytes(b))
+    for _ in range(20):
+        b = bytearray(valid)
+        for _ in range(6):
+            b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+        cases.append(bytes(b))
+    for data in cases:
+        try:
+            native_decode(data)
+        except ValueError:
+            pass  # rejected cleanly
