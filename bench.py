@@ -70,24 +70,92 @@ def main() -> None:
     ratio = 2 * n_samples / len(encoded)
     log(f"encode: {t_enc:.2f}s = {enc_msps:.2f} Msamples/s, ratio {ratio:.2f}x")
 
-    # ---- corpus encode (lane-packed: many files in parallel) ----
+    # ---- corpus encode (lane-packed, 128 lanes = 64 stereo files/block) ----
     from sea_codec_tpu.batch import encode_corpus
 
-    corpus_files = [samples[: 16 * fpc * channels]] * 32
-    encode_corpus(corpus_files, TEST_SAMPLE_RATE, channels, settings)  # compile
+    corpus_files = [samples[: 16 * fpc * channels]] * 256
+    encode_corpus(corpus_files[:64], TEST_SAMPLE_RATE, channels, settings)  # compile
+    encode_corpus(corpus_files, TEST_SAMPLE_RATE, channels, settings)  # compile NB=4
     t0 = time.perf_counter()
     corpus_out = encode_corpus(corpus_files, TEST_SAMPLE_RATE, channels, settings)
     t_corpus = time.perf_counter() - t0
     corpus_samples = sum(f.shape[0] for f in corpus_files)
     corpus_msps = corpus_samples / t_corpus / 1e6
-    assert corpus_out[0] == corpus_out[31]
-    log(f"corpus encode (32 stereo files): {t_corpus:.2f}s = {corpus_msps:.1f} Msamples/s")
+    assert corpus_out[0] == corpus_out[255]
+    log(f"corpus encode e2e (256 stereo files): {t_corpus:.2f}s = {corpus_msps:.1f} Msamples/s")
+
+    # ---- device-resident corpus encode (samples already in HBM; the
+    # production shape where PCM arrives from upstream device compute).
+    # One blocked program: fused search + on-device container serialization.
+    from sea_codec_tpu.ops import lms as lms_ops
+    from sea_codec_tpu.ops.encode_file import encode_corpus_cbr_packed_blocks
+
+    use_pallas_enc = default_use_pallas()
+    nb, nfb, ncb = 4, 64, 16
+    bb = nfb * channels
+    one_file = samples[: ncb * fpc * channels].reshape(ncb, fpc, channels)
+    xdev = np.broadcast_to(
+        np.tile(one_file, (1, 1, nfb))[None], (nb, ncb, fpc, bb)
+    ).copy()
+    frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
+    tail_idx = np.full((nb, nfb), ncb, np.int32)
+    h0 = np.broadcast_to(np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
+    w0 = np.broadcast_to(np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
+    p0 = np.zeros((nb, bb), np.int32)
+    xdev_d = jax.device_put(xdev)
+
+    def dev_encode():
+        return encode_corpus_cbr_packed_blocks(
+            xdev_d, frames_lane, tail_idx, h0, w0, p0,
+            scale_factor_frames=settings.scale_factor_frames,
+            scale_factor_bits=settings.scale_factor_bits,
+            residual_size=3,
+            n_files=nfb,
+            use_pallas=use_pallas_enc,
+        )
+
+    _ = np.asarray(dev_encode()[0][0, 0, 0])
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(dev_encode()[0][0, 0, 0])
+        ts.append(time.perf_counter() - t0)
+    n_enc_dev = nb * nfb * ncb * fpc * channels
+    enc_dev_msps = n_enc_dev / min(ts) / 1e6
+    log(
+        f"corpus encode device-resident ({nb * nfb} files): "
+        f"{min(ts) * 1e3:.0f} ms = {enc_dev_msps:.1f} Msamples/s"
+    )
 
     # ---- correctness + quality ----
     decoded = decode_sea(encoded)
     assert decoded.samples.shape[0] == n_samples
     rms, psnr = audio_quality(samples, np.asarray(decoded.samples))
     log(f"psnr: {psnr:.1f} dB")
+
+    # ---- BASELINE acceptance config: 1,000-file corpus encode + decode ----
+    from sea_codec_tpu.batch import decode_corpus
+
+    nc1k = 8
+    corpus1k = [samples[: nc1k * fpc * channels]] * 1000
+    n_1k = sum(f.shape[0] for f in corpus1k)
+    encode_corpus(corpus1k[:512], TEST_SAMPLE_RATE, channels, settings)  # compile
+    t0 = time.perf_counter()
+    enc1k = encode_corpus(corpus1k, TEST_SAMPLE_RATE, channels, settings)
+    t_enc1k = time.perf_counter() - t0
+    enc1k_msps = n_1k / t_enc1k / 1e6
+    log(f"corpus encode e2e (1000 stereo files, {n_1k/1e6:.0f} Msamples): "
+        f"{t_enc1k:.2f}s = {enc1k_msps:.1f} Msamples/s")
+    decode_corpus(enc1k[:32])  # compile
+    t0 = time.perf_counter()
+    dec1k = decode_corpus(enc1k)
+    t_dec1k = time.perf_counter() - t0
+    dec1k_msps = n_1k / t_dec1k / 1e6
+    assert all(d is not None and d.samples.shape[0] == n_1k // 1000 for d in dec1k)
+    np.testing.assert_array_equal(np.asarray(dec1k[0].samples),
+                                  np.asarray(dec1k[999].samples))
+    log(f"corpus decode e2e (1000 files, incl. full PCM fetch): "
+        f"{t_dec1k:.2f}s = {dec1k_msps:.1f} Msamples/s")
 
     # ---- end-to-end decode (host parse + device + full PCM fetch) ----
     reps = 3
@@ -147,6 +215,9 @@ def main() -> None:
                 "end_to_end_decode_Msps": round(e2e_msps, 2),
                 "encode_Msps": round(enc_msps, 2),
                 "corpus_encode_Msps": round(corpus_msps, 2),
+                "corpus_encode_device_Msps": round(enc_dev_msps, 2),
+                "corpus1000_encode_Msps": round(enc1k_msps, 2),
+                "corpus1000_decode_Msps": round(dec1k_msps, 2),
                 "compression_ratio": round(ratio, 2),
                 "psnr_db": round(psnr, 1),
                 "n_samples": n_samples, "n_decode_samples": n_dec_samples,

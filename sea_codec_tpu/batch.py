@@ -338,7 +338,30 @@ def encode_sea(
                 use_pallas=use_pallas,
             )
             sizes_j = sizes
+            # one bundled device->host transfer (the relay link pays per-call
+            # latency; separate fetches would each cost an RPC round trip)
+            import jax
+
+            sf, codes, sizes, ehist, ewts, hist, wts, prev = jax.device_get(
+                (sf, codes, sizes_j, ehist, ewts, hist_j, wts_j, prev_j)
+            )
+            w = -(-fpc // sff)
+            rect = serialize_full_chunks(
+                sf.reshape(nc_full, w, c),
+                codes.reshape(nc_full, fpc, c),
+                sizes.reshape(nc_full, w, c),
+                ehist,
+                ewts,
+                scale_factor_bits=sfb,
+                scale_factor_frames=sff,
+                residual_size=residual_size,
+            )
+            chunks.extend(bytes(row) for row in rect)
         else:
+            import jax
+
+            from .ops.serialize_device import serialize_chunks_cbr
+
             sf, codes, ehist, ewts, hist_j, wts_j, prev_j = encode_file_cbr(
                 jnp.asarray(x),
                 jnp.asarray(hist),
@@ -349,29 +372,18 @@ def encode_sea(
                 residual_size=residual_size,
                 use_pallas=use_pallas,
             )
-            sizes_j = None
-        # one bundled device->host transfer (the relay link pays per-call
-        # latency; separate fetches would each cost an RPC round trip)
-        import jax
-
-        fetched = jax.device_get(
-            (sf, codes, ehist, ewts, hist_j, wts_j, prev_j)
-            + ((sizes_j,) if sizes_j is not None else ())
-        )
-        sf, codes, ehist, ewts, hist, wts, prev = fetched[:7]
-        sizes = fetched[7] if sizes_j is not None else None
-        w = -(-fpc // sff)
-        rect = serialize_full_chunks(
-            sf.reshape(nc_full, w, c),
-            codes.reshape(nc_full, fpc, c),
-            sizes.reshape(nc_full, w, c) if sizes is not None else None,
-            ehist,
-            ewts,
-            scale_factor_bits=sfb,
-            scale_factor_frames=sff,
-            residual_size=residual_size,
-        )
-        chunks.extend(bytes(row) for row in rect)
+            # container rows are packed on device: the fetch is the finished
+            # bitstream (~residual_size/8 bytes per sample), not raw codes
+            rows = serialize_chunks_cbr(
+                sf, codes, ehist, ewts,
+                scale_factor_bits=sfb,
+                scale_factor_frames=sff,
+                residual_size=residual_size,
+            )
+            rows_np, hist, wts, prev = jax.device_get(
+                (rows, hist_j, wts_j, prev_j)
+            )
+            chunks.extend(bytes(row) for row in rows_np)
 
     # ragged tail chunk via the per-chunk model path, seeded with the carried
     # state (bit-identical to the session's final encode_frame)
@@ -419,17 +431,30 @@ def encode_corpus(
     sample_rate: int,
     channels: int,
     settings=None,
+    pipeline_depth: int = 4,
+    mesh=None,
 ) -> list[bytes]:
     """Encode many files at once by packing their channel streams into the
     encoder kernel's 128 lanes (each stream keeps its own LMS carry and
     per-window length mask). All files share ``channels`` and ``settings``.
     Outputs are byte-identical to per-file ``encode_sea``.
 
-    CBR: whole files (including ragged tails) ride the fused kernel scan.
-    VBR: full chunks ride the fused scan with per-file on-device error
-    ranking; each file's ragged tail chunk (whose size-selection counts are
-    data-dependent) is encoded by the per-chunk model seeded with the carried
-    state. Requires a TPU backend; falls back to per-file encoding otherwise.
+    Pipelined: up to ``pipeline_depth`` lane groups are in flight at once
+    (JAX dispatch is asynchronous), overlapping host staging/assembly with
+    device compute and transfers in both directions.
+
+    CBR: whole files (including ragged tails) ride the fused kernel scan and
+    the container rows are serialized *on device* (the residual bitstream
+    comes back packed -- ~8/residual_size times smaller). VBR: full chunks
+    ride the fused scan with per-file on-device error ranking; rows are
+    packed on host (data-dependent widths); each file's ragged tail chunk is
+    encoded by the per-chunk model seeded with the carried state.
+
+    ``mesh``: a ``jax.sharding.Mesh`` -- lane blocks shard across every mesh
+    axis (independent streams, no collectives) and each device encodes its
+    blocks; output bytes are identical to the single-device path. Without a
+    mesh the kernel path requires a TPU backend and falls back to per-file
+    encoding elsewhere.
     """
     from .encoder import EncoderSettings, validate_encode_params
 
@@ -438,8 +463,9 @@ def encode_corpus(
     validate_encode_params(channels, settings)
     from .ops.device_decode import default_use_pallas
 
+    use_pallas = default_use_pallas()
     if (
-        not default_use_pallas()
+        (not use_pallas and mesh is None)
         or channels > 128
         or settings.scale_factor_bits > 7
     ):
@@ -448,7 +474,10 @@ def encode_corpus(
     import jax
     from .models.vbr import interpolate_distribution, normalized_vbr_bitrate
     from .ops import lms as lms_ops
-    from .ops.encode_file import encode_corpus_cbr, encode_corpus_vbr
+    from .ops.encode_file import (
+        encode_corpus_cbr_packed_blocks,
+        encode_corpus_vbr_nv_blocks,
+    )
 
     c = channels
     fpc = settings.frames_per_chunk
@@ -467,144 +496,235 @@ def encode_corpus(
     group_size = max(1, 128 // c)
 
     results: list[bytes] = [b""] * len(files)
-    for g0 in range(0, len(files), group_size):
-        idxs = list(range(g0, min(g0 + group_size, len(files))))
-        group = [np.asarray(files[i], dtype=np.int16) for i in idxs]
-        frames = [f.shape[0] // c for f in group]
-        nc_max = max(-(-fr // fpc) for fr in frames)
-        b = len(group) * c
 
-        x = np.zeros((nc_max, fpc, b), np.int16)
-        nv = np.zeros((nc_max, w, 128), np.int32)
-        for j, (f, fr) in enumerate(zip(group, frames)):
-            lanes = slice(j * c, (j + 1) * c)
-            arr = f[: fr * c].reshape(fr, c)
-            fused_chunks = -(-fr // fpc) if not settings.vbr else fr // fpc
-            for k in range(-(-fr // fpc)):
-                fk = min(fpc, fr - k * fpc)
-                x[k, :fk, lanes] = arr[k * fpc : k * fpc + fk]
-                if k < fused_chunks:
-                    nv[k, :, lanes] = np.clip(
-                        fk - np.arange(w)[:, None] * sff, 0, sff
-                    )
-
-        # per-chunk nv stacks in the kernel's [WP, 1, 128] layout (host numpy)
-        wp = _wp(w)
-        nv_p = np.zeros((nc_max, wp, 1, 128), np.int32)
-        nv_p[:, :w, 0, :] = nv
-
-        # one bundled host->device transfer (per-RPC latency on the relay)
-        x_d, nv_d, h_d, w_d, p_d = jax.device_put(
-            (
-                x,
-                nv_p,
-                np.tile(lms_ops.initial_history(c), (len(group), 1)),
-                np.tile(lms_ops.initial_weights(c), (len(group), 1)),
-                np.zeros(b, np.int32),
-            )
+    def make_header(fr: int) -> SeaFileHeader:
+        return SeaFileHeader(
+            version=1,
+            channels=c,
+            chunk_size=0,
+            frames_per_chunk=fpc,
+            sample_rate=sample_rate,
+            total_frames=fr,
+            metadata=settings.metadata,
         )
-        if settings.vbr:
-            out = encode_corpus_vbr(
-                x_d, nv_d, h_d, w_d, p_d,
+
+    def tail_chunk_cbr(fk, eh, ew, sf_t, codes_t) -> bytes:
+        w_real = -(-fk // sff)
+        return SeaChunk(
+            channels=c,
+            frames_in_chunk=fk,
+            chunk_type=CHUNK_TYPE_CBR,
+            scale_factor_bits=sfb,
+            scale_factor_frames=sff,
+            residual_size=residual_size,
+            lms_history=eh,
+            lms_weights=ew,
+            scale_factors=sf_t[:w_real].reshape(-1),
+            residuals=codes_t[:fk].reshape(-1),
+        ).serialize()
+
+    def tail_chunk_vbr(j, group, fr, fhist, fwts, fprev, lanes) -> bytes:
+        # tail size-selection counts are data-dependent: run the per-chunk
+        # model seeded with the fused scan's carry
+        from .models import VbrEncoderModel
+
+        k = fr // fpc
+        fk = fr - k * fpc
+        model = VbrEncoderModel(
+            channels=c,
+            scale_factor_bits=sfb,
+            scale_factor_frames=sff,
+            residual_bits=settings.residual_bits,
+            frames_per_chunk=fpc,
+        )
+        model.state.hist = fhist[lanes].astype(np.int32)
+        model.state.wts = fwts[lanes].astype(np.int32)
+        model.state.prev_sf = fprev[lanes].astype(np.int32)
+        eh, ew = model.lms_snapshot
+        enc = model.encode(group[j][k * fpc * c : fr * c])
+        return SeaChunk(
+            channels=c,
+            frames_in_chunk=fk,
+            chunk_type=CHUNK_TYPE_VBR,
+            scale_factor_bits=sfb,
+            scale_factor_frames=sff,
+            residual_size=residual_size,
+            lms_history=eh,
+            lms_weights=ew,
+            scale_factors=enc.scale_factors,
+            vbr_residual_sizes=enc.residual_bits,
+            residuals=enc.residuals,
+        ).serialize()
+
+    def assemble_cbr(entry) -> None:
+        metas, out = entry
+        rows, tail_sf, tail_codes, tail_eh, tail_ew, _fh, _fw, _fp = (
+            jax.device_get(out)
+        )
+        for bi, (idxs, group, frames) in enumerate(metas):
+            for j, (i, fr) in enumerate(zip(idxs, frames)):
+                header = make_header(fr)
+                nc_f_full = fr // fpc
+                body_parts = []
+                if nc_f_full:
+                    body_parts.append(rows[bi, j, :nc_f_full].tobytes())
+                if fr % fpc:
+                    body_parts.append(
+                        tail_chunk_cbr(
+                            fr - nc_f_full * fpc,
+                            tail_eh[bi, j], tail_ew[bi, j],
+                            tail_sf[bi, j], tail_codes[bi, j],
+                        )
+                    )
+                if body_parts:
+                    first_len = (
+                        rows.shape[3] if nc_f_full else len(body_parts[0])
+                    )
+                    _check_chunk_size(first_len)
+                    header.chunk_size = first_len
+                results[i] = header.serialize() + b"".join(body_parts)
+
+    def assemble_vbr(entry) -> None:
+        metas, out = entry
+        sf, codes, sizes, ehist, ewts, fhist, fwts, fprev = jax.device_get(out)
+        for bi, (idxs, group, frames) in enumerate(metas):
+            for j, (i, fr) in enumerate(zip(idxs, frames)):
+                lanes = slice(j * c, (j + 1) * c)
+                header = make_header(fr)
+                chunks = []
+                nc_f_full = fr // fpc
+                if nc_f_full:
+                    rect = serialize_full_chunks(
+                        sf[bi, :nc_f_full, :, lanes],
+                        codes[bi, :nc_f_full, :, lanes],
+                        sizes[bi, :nc_f_full, :, lanes],
+                        ehist[bi, :nc_f_full, lanes],
+                        ewts[bi, :nc_f_full, lanes],
+                        scale_factor_bits=sfb,
+                        scale_factor_frames=sff,
+                        residual_size=residual_size,
+                    )
+                    chunks.extend(bytes(row) for row in rect)
+                if fr % fpc:
+                    chunks.append(
+                        tail_chunk_vbr(
+                            j, group, fr, fhist[bi], fwts[bi], fprev[bi], lanes
+                        )
+                    )
+                if chunks:
+                    _check_chunk_size(len(chunks[0]))
+                    header.chunk_size = len(chunks[0])
+                results[i] = header.serialize() + b"".join(chunks)
+
+    assemble = assemble_vbr if settings.vbr else assemble_cbr
+
+    from collections import deque
+
+    # Lane groups (<=128 lanes each) batch further into multi-block device
+    # calls: on a relay-attached chip each put/execute/fetch round trip pays
+    # tens of ms of RPC latency, so blocks_per_call groups share one round.
+    # With a mesh, blocks shard across devices, so calls carry a multiple of
+    # mesh.size blocks (padding blocks are all-zero lanes).
+    blocks_per_call = 4
+    mesh_size = 0
+    if mesh is not None and mesh.size > 1:
+        mesh_size = mesh.size
+        blocks_per_call = max(blocks_per_call, mesh_size)
+        blocks_per_call -= blocks_per_call % mesh_size
+    b_full = group_size * c
+    granges = [
+        list(range(g0, min(g0 + group_size, len(files))))
+        for g0 in range(0, len(files), group_size)
+    ]
+
+    staged: deque = deque()
+    for s0 in range(0, len(granges), blocks_per_call):
+        sub = granges[s0 : s0 + blocks_per_call]
+        nb = len(sub)
+        if mesh_size:  # pad to a whole number of shards
+            nb = -(-nb // mesh_size) * mesh_size
+        metas = []
+        for idxs in sub:
+            group = [np.asarray(files[i], dtype=np.int16) for i in idxs]
+            frames = [f.shape[0] // c for f in group]
+            metas.append((idxs, group, frames))
+        nc_max = max(
+            -(-fr // fpc) for _idxs, _g, frames in metas for fr in frames
+        )
+
+        x = np.zeros((nb, nc_max, fpc, b_full), np.int16)
+        frames_lane = np.zeros((nb, b_full), np.int32)
+        tail_idx = np.zeros((nb, group_size), np.int32)
+        for bi, (idxs, group, frames) in enumerate(metas):
+            for j, (f, fr) in enumerate(zip(group, frames)):
+                lanes = slice(j * c, (j + 1) * c)
+                nc_f = -(-fr // fpc)
+                arr = np.zeros((nc_f * fpc, c), np.int16)
+                arr[:fr] = f[: fr * c].reshape(fr, c)
+                x[bi, :nc_f, :, lanes] = arr.reshape(nc_f, fpc, c)
+                frames_lane[bi, lanes] = fr
+                tail_idx[bi, j] = fr // fpc
+
+        h0 = np.broadcast_to(
+            np.tile(lms_ops.initial_history(c), (group_size, 1)), (nb, b_full, 4)
+        )
+        w0 = np.broadcast_to(
+            np.tile(lms_ops.initial_weights(c), (group_size, 1)), (nb, b_full, 4)
+        )
+        p0 = np.zeros((nb, b_full), np.int32)
+        if mesh_size:
+            from .parallel.pipeline import encode_corpus_blocks_sharded
+
+            out = encode_corpus_blocks_sharded(
+                mesh,
+                settings.vbr,
+                x,
+                frames_lane,
+                tail_idx,
+                h0,
+                w0,
+                p0,
+                sff=sff,
+                sfb=sfb,
+                residual_size=residual_size,
+                base=base if settings.vbr else 0,
+                dist=(m1, p1, p2) if settings.vbr else (),
+                n_files=group_size,
+                use_pallas=use_pallas,
+            )
+        elif settings.vbr:
+            out = encode_corpus_vbr_nv_blocks(
+                jax.device_put(x),
+                frames_lane,
+                h0,
+                w0,
+                p0,
                 scale_factor_frames=sff,
                 scale_factor_bits=sfb,
                 base=base,
                 dist=(m1, p1, p2),
-                n_files=len(group),
+                n_files=group_size,
+                use_pallas=use_pallas,
             )
-            sf, codes, sizes, ehist, ewts, fhist, fwts, fprev = jax.device_get(out)
         else:
-            out = encode_corpus_cbr(
-                x_d, nv_d, h_d, w_d, p_d,
+            out = encode_corpus_cbr_packed_blocks(
+                jax.device_put(x),
+                frames_lane,
+                tail_idx,
+                h0,
+                w0,
+                p0,
                 scale_factor_frames=sff,
                 scale_factor_bits=sfb,
                 residual_size=residual_size,
+                n_files=group_size,
+                use_pallas=use_pallas,
             )
-            sf, codes, ehist, ewts, fhist, fwts, fprev = jax.device_get(out)
-            sizes = None
-
-        for j, (i, fr) in enumerate(zip(idxs, frames)):
-            lanes = slice(j * c, (j + 1) * c)
-            header = SeaFileHeader(
-                version=1,
-                channels=c,
-                chunk_size=0,
-                frames_per_chunk=fpc,
-                sample_rate=sample_rate,
-                total_frames=fr,
-                metadata=settings.metadata,
-            )
-            chunks = []
-            nc_f = -(-fr // fpc)
-            nc_f_full = fr // fpc
-            if nc_f_full:
-                if sizes is not None:
-                    sizes_f = sizes[:nc_f_full, :, lanes]
-                else:
-                    sizes_f = None
-                rect = serialize_full_chunks(
-                    sf[:nc_f_full, :, lanes],
-                    codes[:nc_f_full, :, lanes],
-                    sizes_f,
-                    ehist[:nc_f_full, lanes],
-                    ewts[:nc_f_full, lanes],
-                    scale_factor_bits=sfb,
-                    scale_factor_frames=sff,
-                    residual_size=residual_size,
-                )
-                chunks.extend(bytes(row) for row in rect)
-            if nc_f > nc_f_full:  # ragged tail chunk
-                k = nc_f_full
-                fk = fr - k * fpc
-                w_real = -(-fk // sff)
-                if settings.vbr:
-                    # tail size-selection counts are data-dependent: run the
-                    # per-chunk model seeded with the fused scan's carry
-                    from .models import VbrEncoderModel
-
-                    model = VbrEncoderModel(
-                        channels=c,
-                        scale_factor_bits=sfb,
-                        scale_factor_frames=sff,
-                        residual_bits=settings.residual_bits,
-                        frames_per_chunk=fpc,
-                    )
-                    model.state.hist = fhist[lanes].astype(np.int32)
-                    model.state.wts = fwts[lanes].astype(np.int32)
-                    model.state.prev_sf = fprev[lanes].astype(np.int32)
-                    eh, ew = model.lms_snapshot
-                    enc = model.encode(group[j][k * fpc * c : fr * c])
-                    chunk = SeaChunk(
-                        channels=c,
-                        frames_in_chunk=fk,
-                        chunk_type=CHUNK_TYPE_VBR,
-                        scale_factor_bits=sfb,
-                        scale_factor_frames=sff,
-                        residual_size=residual_size,
-                        lms_history=eh,
-                        lms_weights=ew,
-                        scale_factors=enc.scale_factors,
-                        vbr_residual_sizes=enc.residual_bits,
-                        residuals=enc.residuals,
-                    )
-                else:
-                    chunk = SeaChunk(
-                        channels=c,
-                        frames_in_chunk=fk,
-                        chunk_type=CHUNK_TYPE_CBR,
-                        scale_factor_bits=sfb,
-                        scale_factor_frames=sff,
-                        residual_size=residual_size,
-                        lms_history=ehist[k, lanes],
-                        lms_weights=ewts[k, lanes],
-                        scale_factors=sf[k, :w_real, lanes].reshape(-1),
-                        residuals=codes[k, :fk, lanes].reshape(-1),
-                    )
-                chunks.append(chunk.serialize())
-            if chunks:
-                _check_chunk_size(len(chunks[0]))
-                header.chunk_size = len(chunks[0])
-            results[i] = header.serialize() + b"".join(chunks)
+        staged.append((metas, out))
+        if len(staged) > pipeline_depth:
+            assemble(staged.popleft())
+    while staged:
+        assemble(staged.popleft())
     return results
 
 
@@ -665,7 +785,10 @@ def decode_range(encoded: bytes, start_frame: int, n_frames: int) -> np.ndarray:
 
 
 def decode_corpus(
-    files: list[bytes], device_batch: int = 2048, on_error: str = "raise"
+    files: list[bytes],
+    device_batch: int = 2048,
+    on_error: str = "raise",
+    mesh=None,
 ) -> list[SeaDecodeInfo | None]:
     """Decode many .sea files with host-parse / device-compute overlap.
 
@@ -674,6 +797,12 @@ def decode_corpus(
     a handful of device calls (the BASELINE corpus configuration), and JAX's
     async dispatch overlaps host parsing with device compute. Per-file
     outputs are bit-identical to ``decode_sea``.
+
+    ``mesh``: a ``jax.sharding.Mesh`` -- the merged chunk batch is placed
+    with its leading (chunk) axis sharded over every mesh axis; every chunk
+    carries its own LMS entry state so the SPMD decode has no collectives
+    (the embarrassingly-parallel decode the format was designed for,
+    reference ``README.md:88-121``, ``src/codec/chunk.rs:95-103``).
 
     ``on_error="skip"`` reports undecodable files as ``None`` instead of
     aborting the corpus (batch-pipeline failure containment).
@@ -710,6 +839,12 @@ def decode_corpus(
 
     pcm_parts: dict[int, list[np.ndarray]] = {fi: [] for fi in range(len(files))}
     use_pallas = default_use_pallas()
+    mesh_size = mesh.size if mesh is not None and mesh.size > 1 else 0
+    if mesh_size:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chunk_spec = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     for key, members in groups.items():
         fpc, c, sff, sfb, residual_size, _bw, _w = key
         dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32)
@@ -722,20 +857,36 @@ def decode_corpus(
         outs = []
         for startk in range(0, n, device_batch):
             endk = min(startk + device_batch, n)
-            outs.append(
-                decode_chunks_packed(
-                    jnp.asarray(res[startk:endk]),
-                    jnp.asarray(sf[startk:endk]),
-                    jnp.asarray(rs[startk:endk]),
-                    jnp.asarray(hist[startk:endk]),
-                    jnp.asarray(wts[startk:endk]),
-                    dqt_flat,
-                    scale_factor_frames=sff,
-                    frames=fpc,
-                    residual_size=residual_size,
-                    use_pallas=use_pallas,
-                )
+            args = (
+                res[startk:endk],
+                sf[startk:endk],
+                rs[startk:endk],
+                hist[startk:endk],
+                wts[startk:endk],
             )
+            n_real = endk - startk
+            if mesh_size:
+                # pad the chunk batch to a whole number of shards (repeating
+                # a valid row keeps every decoded config in range) and place
+                # it sharded; the SPMD decode partitions with no collectives
+                pad = -n_real % mesh_size
+                if pad:
+                    args = tuple(
+                        np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                        for a in args
+                    )
+                args = tuple(jax.device_put(a, chunk_spec) for a in args)
+            else:
+                args = tuple(jnp.asarray(a) for a in args)
+            out = decode_chunks_packed(
+                *args,
+                dqt_flat,
+                scale_factor_frames=sff,
+                frames=fpc,
+                residual_size=residual_size,
+                use_pallas=use_pallas,
+            )
+            outs.append(out[:n_real] if mesh_size else out)
         pcm = np.concatenate([np.asarray(o) for o in outs])  # [n, fpc, c]
         pos = 0
         for fi, b in members:

@@ -24,6 +24,17 @@ def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     parser.prog = "sea-batch"
     parser.usage = "%(prog)s INPUT_GLOB OUTPUT_DIR [options]"
+    parser.add_argument(
+        "--mesh",
+        action="store_true",
+        help="shard the corpus over all local devices (jax.sharding.Mesh)",
+    )
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host run: initialize jax.distributed from the cluster "
+        "environment, shard files across hosts, mesh over local devices",
+    )
     args = parser.parse_args(argv)
     settings = get_encoder_settings(args)
 
@@ -31,6 +42,24 @@ def main(argv: list[str] | None = None) -> int:
     if not paths:
         print(f"Error: no files match {args.input!r}", file=sys.stderr)
         return 1
+
+    mesh = None
+    if args.distributed or args.mesh:
+        import jax
+
+        if args.distributed:
+            from .parallel.distributed import initialize, shard_files_across_hosts
+
+            initialize()
+            mine = shard_files_across_hosts(len(paths))
+            paths = [paths[i] for i in mine]
+            devices = jax.local_devices()
+        else:
+            devices = jax.devices()
+        if len(devices) > 1:
+            from .parallel.pipeline import make_mesh
+
+            mesh = make_mesh(len(devices), devices=devices)
     outdir = args.output
     os.makedirs(outdir, exist_ok=True)
 
@@ -53,7 +82,9 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.perf_counter()
         total = 0
         for (channels, rate), idxs in by_config.items():
-            encoded = encode_corpus([waves[i].samples for i in idxs], rate, channels, settings)
+            encoded = encode_corpus(
+                [waves[i].samples for i in idxs], rate, channels, settings, mesh=mesh
+            )
             for i, enc in zip(idxs, encoded):
                 with open(os.path.join(outdir, names[i] + ".sea"), "wb") as f:
                     f.write(enc)
@@ -69,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
 
         blobs = [open(p, "rb").read() for p in paths]
         t0 = time.perf_counter()
-        results = decode_corpus(blobs, on_error="skip")
+        results = decode_corpus(blobs, on_error="skip", mesh=mesh)
         dt = time.perf_counter() - t0
         total = 0
         for p, info in zip(paths, results):

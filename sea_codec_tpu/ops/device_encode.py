@@ -57,7 +57,9 @@ def sea_div(v: jnp.ndarray, recip: jnp.ndarray) -> jnp.ndarray:
 def encode_windows_fn(
     samples: jnp.ndarray,  # int32[W * sff, C] de-interleaved, zero-padded
     rs: jnp.ndarray,  # int32[W, C] residual size per window/channel (1..8)
-    n_valid: jnp.ndarray,  # int32[W] frames actually present in each window
+    n_valid: jnp.ndarray,  # int32[W] or int32[W, C] valid frames per window
+    # (per-lane form used by the lane-packed corpus path, where each lane
+    # is an independent stream with its own length)
     hist0: jnp.ndarray,  # int32[C, 4]
     wts0: jnp.ndarray,  # int32[C, 4]
     prev_sf0: jnp.ndarray,  # int32[C]
@@ -82,7 +84,7 @@ def encode_windows_fn(
 
     def window_body(carry, xs):
         hist, wts, prev_sf = carry  # [C,4], [C,4], [C]
-        smp, rs_w, nv = xs  # [sff, C], [C], scalar
+        smp, rs_w, nv = xs  # [sff, C], [C], scalar or [C]
 
         cand = jnp.arange(s, dtype=jnp.int32)  # [S]
         sf_cand = (cand[:, None] + prev_sf[None, :]) % s  # [S, C]
@@ -98,7 +100,7 @@ def encode_windows_fn(
 
         def sample_step(inner, xt):
             hh, ww, rank = inner
-            sample, valid = xt  # [C] int32, scalar bool
+            sample, valid = xt  # [C] int32, scalar or [C] bool
             sample_b = jnp.broadcast_to(sample[None, :], (s, c))
             pred = lms.predict(hh, ww)  # [S, C]
             residual = sample_b - pred
@@ -110,13 +112,17 @@ def encode_windows_fn(
             err = (sample_b - recon).astype(jnp.int64)
             esq = (err * err).astype(jnp.uint64)
             rank_inc = esq + lms.weights_penalty(ww)
-            rank = jnp.where(valid, rank + rank_inc, rank)
+            rank = jnp.where(valid, rank + rank_inc, rank)  # [S, C] <- [C]|scalar
+            v_state = valid if valid.ndim == 0 else valid[:, None]  # for [S, C, 4]
             hh2, ww2 = lms.update(hh, ww, recon, dq)
-            hh = jnp.where(valid, hh2, hh)
-            ww = jnp.where(valid, ww2, ww)
+            hh = jnp.where(v_state, hh2, hh)
+            ww = jnp.where(v_state, ww2, ww)
             return (hh, ww, rank), q.astype(jnp.uint8)
 
-        valid_t = jnp.arange(sff, dtype=jnp.int32) < nv
+        if nv.ndim:  # per-lane window lengths: [sff, C] mask
+            valid_t = jnp.arange(sff, dtype=jnp.int32)[:, None] < nv[None, :]
+        else:
+            valid_t = jnp.arange(sff, dtype=jnp.int32) < nv
         (hh, ww, ranks), qs = jax.lax.scan(
             sample_step, (hh, ww, rank0), (smp, valid_t)
         )

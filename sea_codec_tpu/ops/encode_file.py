@@ -123,56 +123,171 @@ def encode_file_cbr(
     return sf, codes, ehist, ewts, hist, wts, prev
 
 
-@partial(
-    jax.jit,
-    static_argnames=("scale_factor_frames", "scale_factor_bits", "residual_size"),
-)
-def encode_corpus_cbr(
-    samples: jnp.ndarray,  # int32[nc, fpc, B] -- B lanes = files x channels
-    nv_all: jnp.ndarray,  # int32[nc, WP, 1, 128] per-chunk per-window per-lane
+def _nv_pallas_layout(nv: jnp.ndarray, wp: int) -> jnp.ndarray:
+    """[nc, W, B] per-lane window lengths -> the kernel's [nc, WP, 1, 128]."""
+    nc, w, b = nv.shape
+    out = jnp.zeros((nc, wp, 1, 128), jnp.int32)
+    return out.at[:, :w, 0, :b].set(nv)
+
+
+def _corpus_cbr_scan(
+    samples: jnp.ndarray,  # int16[nc, fpc, B] -- B lanes = files x channels
+    nv: jnp.ndarray,  # int32[nc, W, B] per-chunk per-window per-lane lengths
     hist0: jnp.ndarray,  # int32[B, 4]
     wts0: jnp.ndarray,
     prev0: jnp.ndarray,  # int32[B]
     scale_factor_frames: int,
     scale_factor_bits: int,
     residual_size: int,
+    use_pallas: bool,
 ):
-    """Corpus CBR encode: many independent streams packed into the kernel's
-    128 lanes (each lane = one channel of one file, with its own LMS carry
-    and its own per-window valid-length mask). TPU/Pallas only."""
-    from .pallas_encode import (
-        pack_state,
-        prepare_n_valid,
-        prepare_window_streams,
-        run_window_search,
+    """Corpus CBR encode core: many independent streams packed into kernel
+    lanes (each lane = one channel of one file, with its own LMS carry and
+    its own per-window valid-length mask). Pallas on TPU; the XLA window
+    kernel elsewhere (same semantics, also the mesh-shardable form)."""
+    nc, fpc, b = samples.shape
+    sff = scale_factor_frames
+    w = fpc // sff
+    rs = jnp.full((w, b), residual_size, jnp.int32)
+
+    if use_pallas:
+        from .pallas_encode import (
+            pack_state,
+            prepare_window_streams,
+            run_window_search,
+        )
+
+        s = 1 << scale_factor_bits
+        streams, wb, wp = prepare_window_streams(rs, sff, scale_factor_bits, b)
+        nv_all = _nv_pallas_layout(nv, wp)
+        state0 = pack_state(hist0, wts0, prev0, s, b)
+
+        def body(state, xs):
+            smp, nvk = xs
+            codes_p, sf_p, _ranks, state_out = run_window_search(
+                state, smp.reshape(fpc, b).astype(jnp.int32), nvk, streams,
+                wb, wp, sff, scale_factor_bits, b,
+            )
+            sf = sf_p[:w, 0, :b].astype(jnp.uint8)
+            codes = codes_p[:w, :sff, :b].reshape(fpc, b).astype(jnp.uint8)
+            ehist = state[0:4, 0, :b].T
+            ewts = state[4:8, 0, :b].T
+            return state_out, (sf, codes, ehist, ewts)
+
+        state, (sf, codes, ehist, ewts) = jax.lax.scan(
+            body, state0, (samples, nv_all)
+        )
+        hist = state[0:4, 0, :b].T
+        wts = state[4:8, 0, :b].T
+        prev = state[8, 0, :b].astype(jnp.int32)
+        return sf, codes, ehist, ewts, hist, wts, prev
+
+    run = _window_kernel(False, sff, scale_factor_bits)
+
+    def body(carry, xs):
+        hist, wts, prev = carry
+        smp, nvk = xs  # [fpc, B], [W, B]
+        sf, codes, _ranks, h2, w2, p2 = run(
+            smp.reshape(fpc, b).astype(jnp.int32), rs, nvk, hist, wts, prev
+        )
+        return (h2, w2, p2), (sf, codes, hist, wts)
+
+    (hist, wts, prev), (sf, codes, ehist, ewts) = jax.lax.scan(
+        body, (hist0, wts0, prev0), (samples, nv)
     )
+    return sf, codes, ehist, ewts, hist, wts, prev
+
+
+encode_corpus_cbr = partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames", "scale_factor_bits", "residual_size", "use_pallas",
+    ),
+)(_corpus_cbr_scan)
+
+
+def corpus_n_valid(
+    frames: jnp.ndarray,  # int32[B] per-lane frame counts (padding lanes 0)
+    nc: int,
+    fpc: int,
+    sff: int,
+    full_only: bool,
+) -> jnp.ndarray:
+    """Per-chunk per-window per-lane valid frame counts [nc, W, B], built on
+    device (uploading the dense mask cost ~10% of the corpus transfer).
+    ``full_only`` masks ragged tail chunks entirely (the VBR fused path
+    encodes full chunks only)."""
+    b = frames.shape[0]
+    w = fpc // sff
+    k = jnp.arange(nc, dtype=jnp.int32).reshape(nc, 1, 1)
+    wi = jnp.arange(w, dtype=jnp.int32).reshape(1, w, 1)
+    fr = frames.reshape(1, 1, b).astype(jnp.int32)
+    in_chunk = jnp.clip(fr - k * fpc, 0, fpc)  # frames present in chunk k
+    if full_only:
+        in_chunk = jnp.where(in_chunk == fpc, fpc, 0)
+    return jnp.clip(in_chunk - wi * sff, 0, sff)
+
+
+def _corpus_cbr_packed_core(
+    samples: jnp.ndarray,  # int16[nc, fpc, B]
+    frames: jnp.ndarray,  # int32[B] per-lane frame counts
+    tail_idx: jnp.ndarray,  # int32[n_files] index of each file's tail chunk
+    hist0: jnp.ndarray,  # int32[B, 4]
+    wts0: jnp.ndarray,
+    prev0: jnp.ndarray,  # int32[B]
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    residual_size: int,
+    n_files: int,
+    use_pallas: bool,
+):
+    """Fused corpus CBR encode + on-device container serialization.
+
+    Returns (rows uint8[nf, nc, chunk_size] finished full-chunk container
+    rows, tail_sf [nf, W, C], tail_codes [nf, fpc, C], tail_eh/tail_ew
+    [nf, C, 4] gathered at each file's tail chunk, final hist/wts/prev).
+    The host slices each file's real rows and serializes only the ragged
+    tail chunk itself.
+    """
+    from .serialize_device import corpus_rows_cbr_device
 
     nc, fpc, b = samples.shape
     sff = scale_factor_frames
     w = fpc // sff
-    s = 1 << scale_factor_bits
-    rs = jnp.full((w, b), residual_size, jnp.int32)
-    streams, wb, wp = prepare_window_streams(rs, sff, scale_factor_bits, b)
-    assert nv_all.shape[1] == wp
-    state0 = pack_state(hist0, wts0, prev0, s, b)
+    nf = n_files
+    c = b // nf
+    nv = corpus_n_valid(frames, nc, fpc, sff, full_only=False)
+    sf, codes, ehist, ewts, hist, wts, prev = _corpus_cbr_scan(
+        samples, nv, hist0, wts0, prev0,
+        scale_factor_frames, scale_factor_bits, residual_size, use_pallas,
+    )
+    rows = corpus_rows_cbr_device(
+        sf, codes, ehist, ewts, nf,
+        scale_factor_bits, sff, residual_size,
+    )
+    # tail-chunk gathers in per-file layout [nf, nc, ...]
+    sf_f = sf.reshape(nc, w, nf, c).transpose(2, 0, 1, 3)  # [nf, nc, w, c]
+    codes_f = codes.reshape(nc, fpc, nf, c).transpose(2, 0, 1, 3)
+    eh_f = ehist.reshape(nc, nf, c, 4).transpose(1, 0, 2, 3)
+    ew_f = ewts.reshape(nc, nf, c, 4).transpose(1, 0, 2, 3)
+    ti = jnp.clip(tail_idx, 0, nc - 1)
+    tail_sf = jnp.take_along_axis(sf_f, ti[:, None, None, None], axis=1)[:, 0]
+    tail_codes = jnp.take_along_axis(codes_f, ti[:, None, None, None], axis=1)[:, 0]
+    tail_eh = jnp.take_along_axis(eh_f, ti[:, None, None, None], axis=1)[:, 0]
+    tail_ew = jnp.take_along_axis(ew_f, ti[:, None, None, None], axis=1)[:, 0]
+    return rows, tail_sf, tail_codes, tail_eh, tail_ew, hist, wts, prev
 
-    def body(state, xs):
-        smp, nvk = xs
-        codes_p, sf_p, _ranks, state_out = run_window_search(
-            state, smp.reshape(fpc, b).astype(jnp.int32), nvk, streams, wb, wp,
-            sff, scale_factor_bits, b,
-        )
-        sf = sf_p[:w, 0, :b].astype(jnp.uint8)
-        codes = codes_p[:w, :sff, :b].reshape(fpc, b).astype(jnp.uint8)
-        ehist = state[0:4, 0, :b].T
-        ewts = state[4:8, 0, :b].T
-        return state_out, (sf, codes, ehist, ewts)
 
-    state, (sf, codes, ehist, ewts) = jax.lax.scan(body, state0, (samples, nv_all))
-    hist = state[0:4, 0, :b].T
-    wts = state[4:8, 0, :b].T
-    prev = state[8, 0, :b].astype(jnp.int32)
-    return sf, codes, ehist, ewts, hist, wts, prev
+encode_corpus_cbr_packed = partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames",
+        "scale_factor_bits",
+        "residual_size",
+        "n_files",
+        "use_pallas",
+    ),
+)(_corpus_cbr_packed_core)
 
 
 @partial(
@@ -180,14 +295,49 @@ def encode_corpus_cbr(
     static_argnames=(
         "scale_factor_frames",
         "scale_factor_bits",
-        "base",
-        "dist",
+        "residual_size",
         "n_files",
+        "use_pallas",
     ),
 )
-def encode_corpus_vbr(
+def encode_corpus_cbr_packed_blocks(
+    samples: jnp.ndarray,  # int16[NB, nc, fpc, B] -- NB independent lane blocks
+    frames: jnp.ndarray,  # int32[NB, B]
+    tail_idx: jnp.ndarray,  # int32[NB, n_files]
+    hist0: jnp.ndarray,  # int32[NB, B, 4]
+    wts0: jnp.ndarray,
+    prev0: jnp.ndarray,  # int32[NB, B]
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    residual_size: int,
+    n_files: int,
+    use_pallas: bool,
+):
+    """Many lane blocks in ONE device program (``lax.map`` over blocks).
+
+    On a relay-attached TPU every dispatch/transfer pays tens of
+    milliseconds of per-RPC latency; batching G blocks into one
+    put/execute/fetch round amortizes that over G x 128 lanes. Device time
+    is the same as G sequential kernels (the blocks serialize on the one
+    TensorCore); the win is pure round-trip elimination.
+    """
+
+    def one(args):
+        return _corpus_cbr_packed_core(
+            *args,
+            scale_factor_frames=scale_factor_frames,
+            scale_factor_bits=scale_factor_bits,
+            residual_size=residual_size,
+            n_files=n_files,
+            use_pallas=use_pallas,
+        )
+
+    return jax.lax.map(one, (samples, frames, tail_idx, hist0, wts0, prev0))
+
+
+def _corpus_vbr_scan(
     samples: jnp.ndarray,  # int16[nc, fpc, B]
-    nv_all: jnp.ndarray,  # int32[nc, WP, 1, 128]; tail/padding chunks all-zero
+    nv: jnp.ndarray,  # int32[nc, W, B]; tail/padding chunks all-zero
     hist0: jnp.ndarray,  # int32[B, 4]
     wts0: jnp.ndarray,
     prev0: jnp.ndarray,  # int32[B]
@@ -196,26 +346,20 @@ def encode_corpus_vbr(
     base: int,
     dist: tuple,  # (m1, p1, p2) static distribution counts for full chunks
     n_files: int,
+    use_pallas: bool,
 ):
     """Corpus VBR encode: the two-pass search with *per-file* on-device error
     ranking (each file's windows x channels rank independently, exactly like
     per-file encoding). Only full chunks ride this path; ragged tails are
-    masked out via nv and encoded by the caller. TPU/Pallas only."""
-    from .pallas_encode import pack_state, prepare_window_streams, run_window_search
-
+    masked out via nv and encoded by the caller. Pallas on TPU; the XLA
+    window kernel elsewhere (same semantics, mesh-shardable)."""
     nc, fpc, b = samples.shape
     sff = scale_factor_frames
     w = fpc // sff
-    s = 1 << scale_factor_bits
     nf = n_files
     c = b // nf
     m1, p1, p2 = dist
     sortable = (fpc * c) // sff
-
-    rs1 = jnp.full((w, b), base + 1, jnp.int32)
-    streams1, wb, wp = prepare_window_streams(rs1, sff, scale_factor_bits, b)
-    assert nv_all.shape[1] == wp
-    state0 = pack_state(hist0, wts0, prev0, s, b)
 
     def choose(errors):  # [w*c] uint64 for one file, window-major
         order = jnp.argsort(errors[:sortable], stable=True)
@@ -228,36 +372,165 @@ def encode_corpus_vbr(
             sizes = sizes.at[order[sortable - p2 :]].set(base + 2)
         return jnp.clip(sizes, 1, 8)
 
-    def body(state, xs):
-        smp, nvk = xs
-        flat = smp.reshape(fpc, b).astype(jnp.int32)
-        # pass 1: analyze at base+1 from the carried state
-        _c1, _s1, ranks_p, state1 = run_window_search(
-            state, flat, nvk, streams1, wb, wp, sff, scale_factor_bits, b
-        )
-        hi = ranks_p[:w, 0, :b].astype(jnp.uint32).astype(jnp.uint64)
-        lo = ranks_p[:w, 1, :b].astype(jnp.uint32).astype(jnp.uint64)
-        errors = (hi << jnp.uint64(32)) | lo  # [w, B]
+    def sizes_from_errors(errors):  # [w, B] uint64 -> rs2 [w, B] int32
         err_f = errors.reshape(w, nf, c).transpose(1, 0, 2).reshape(nf, w * c)
         sizes_f = jax.vmap(choose)(err_f)  # [nf, w*c]
-        rs2 = sizes_f.reshape(nf, w, c).transpose(1, 0, 2).reshape(w, b)
-        streams2, _wb2, _wp2 = prepare_window_streams(rs2, sff, scale_factor_bits, b)
-        # pass 2: LMS restored (rows 0..7 from the carry), prev_sf from pass 1
-        state_p2 = jnp.concatenate([state[0:8], state1[8:9]], axis=0)
-        codes_p, sf_p, _r2, state2 = run_window_search(
-            state_p2, flat, nvk, streams2, wb, wp, sff, scale_factor_bits, b
-        )
-        sf = sf_p[:w, 0, :b].astype(jnp.uint8)
-        codes = codes_p[:w, :sff, :b].reshape(fpc, b).astype(jnp.uint8)
-        ehist = state[0:4, 0, :b].T
-        ewts = state[4:8, 0, :b].T
-        return state2, (sf, codes, rs2.astype(jnp.uint8), ehist, ewts)
+        return sizes_f.reshape(nf, w, c).transpose(1, 0, 2).reshape(w, b)
 
-    state, (sf, codes, sizes, ehist, ewts) = jax.lax.scan(body, state0, (samples, nv_all))
-    hist = state[0:4, 0, :b].T
-    wts = state[4:8, 0, :b].T
-    prev = state[8, 0, :b].astype(jnp.int32)
+    if use_pallas:
+        from .pallas_encode import (
+            pack_state,
+            prepare_window_streams,
+            run_window_search,
+        )
+
+        s = 1 << scale_factor_bits
+        rs1 = jnp.full((w, b), base + 1, jnp.int32)
+        streams1, wb, wp = prepare_window_streams(rs1, sff, scale_factor_bits, b)
+        nv_all = _nv_pallas_layout(nv, wp)
+        state0 = pack_state(hist0, wts0, prev0, s, b)
+
+        def body(state, xs):
+            smp, nvk = xs
+            flat = smp.reshape(fpc, b).astype(jnp.int32)
+            # pass 1: analyze at base+1 from the carried state
+            _c1, _s1, ranks_p, state1 = run_window_search(
+                state, flat, nvk, streams1, wb, wp, sff, scale_factor_bits, b
+            )
+            hi = ranks_p[:w, 0, :b].astype(jnp.uint32).astype(jnp.uint64)
+            lo = ranks_p[:w, 1, :b].astype(jnp.uint32).astype(jnp.uint64)
+            rs2 = sizes_from_errors((hi << jnp.uint64(32)) | lo)
+            streams2, _wb2, _wp2 = prepare_window_streams(
+                rs2, sff, scale_factor_bits, b
+            )
+            # pass 2: LMS restored (rows 0..7 from carry), prev_sf from pass 1
+            state_p2 = jnp.concatenate([state[0:8], state1[8:9]], axis=0)
+            codes_p, sf_p, _r2, state2 = run_window_search(
+                state_p2, flat, nvk, streams2, wb, wp, sff, scale_factor_bits, b
+            )
+            sf = sf_p[:w, 0, :b].astype(jnp.uint8)
+            codes = codes_p[:w, :sff, :b].reshape(fpc, b).astype(jnp.uint8)
+            ehist = state[0:4, 0, :b].T
+            ewts = state[4:8, 0, :b].T
+            return state2, (sf, codes, rs2.astype(jnp.uint8), ehist, ewts)
+
+        state, (sf, codes, sizes, ehist, ewts) = jax.lax.scan(
+            body, state0, (samples, nv_all)
+        )
+        hist = state[0:4, 0, :b].T
+        wts = state[4:8, 0, :b].T
+        prev = state[8, 0, :b].astype(jnp.int32)
+        return sf, codes, sizes, ehist, ewts, hist, wts, prev
+
+    run = _window_kernel(False, sff, scale_factor_bits)
+    rs1 = jnp.full((w, b), base + 1, jnp.int32)
+
+    def body(carry, xs):
+        hist, wts, prev = carry
+        smp, nvk = xs  # [fpc, B], [W, B]
+        flat = smp.reshape(fpc, b).astype(jnp.int32)
+        # pass 1: analyze at base+1; LMS restored, prev_sf kept from pass 1
+        _sf1, _c1, ranks, _h1, _w1, prev1 = run(flat, rs1, nvk, hist, wts, prev)
+        rs2 = sizes_from_errors(ranks)
+        sf, codes, _r2, h2, w2, p2 = run(flat, rs2, nvk, hist, wts, prev1)
+        return (h2, w2, p2), (sf, codes, rs2.astype(jnp.uint8), hist, wts)
+
+    (hist, wts, prev), (sf, codes, sizes, ehist, ewts) = jax.lax.scan(
+        body, (hist0, wts0, prev0), (samples, nv)
+    )
     return sf, codes, sizes, ehist, ewts, hist, wts, prev
+
+
+encode_corpus_vbr = partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames",
+        "scale_factor_bits",
+        "base",
+        "dist",
+        "n_files",
+        "use_pallas",
+    ),
+)(_corpus_vbr_scan)
+
+
+def _corpus_vbr_nv_core(
+    samples: jnp.ndarray,  # int16[nc, fpc, B]
+    frames: jnp.ndarray,  # int32[B] per-lane frame counts
+    hist0: jnp.ndarray,
+    wts0: jnp.ndarray,
+    prev0: jnp.ndarray,
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    base: int,
+    dist: tuple,
+    n_files: int,
+    use_pallas: bool,
+):
+    """Corpus VBR encode with the valid-length mask built on device (only
+    full chunks ride the fused scan; ragged tails are fully masked)."""
+    nc, fpc, b = samples.shape
+    sff = scale_factor_frames
+    nv = corpus_n_valid(frames, nc, fpc, sff, full_only=True)
+    return _corpus_vbr_scan(
+        samples, nv, hist0, wts0, prev0,
+        scale_factor_frames, scale_factor_bits, base, dist, n_files, use_pallas,
+    )
+
+
+encode_corpus_vbr_nv = partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames",
+        "scale_factor_bits",
+        "base",
+        "dist",
+        "n_files",
+        "use_pallas",
+    ),
+)(_corpus_vbr_nv_core)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames",
+        "scale_factor_bits",
+        "base",
+        "dist",
+        "n_files",
+        "use_pallas",
+    ),
+)
+def encode_corpus_vbr_nv_blocks(
+    samples: jnp.ndarray,  # int16[NB, nc, fpc, B]
+    frames: jnp.ndarray,  # int32[NB, B]
+    hist0: jnp.ndarray,  # int32[NB, B, 4]
+    wts0: jnp.ndarray,
+    prev0: jnp.ndarray,  # int32[NB, B]
+    scale_factor_frames: int,
+    scale_factor_bits: int,
+    base: int,
+    dist: tuple,
+    n_files: int,
+    use_pallas: bool,
+):
+    """VBR analog of ``encode_corpus_cbr_packed_blocks``: many lane blocks
+    per device round trip (see that docstring for why)."""
+
+    def one(args):
+        smp, fr, h0, w0, p0 = args
+        return _corpus_vbr_nv_core(
+            smp, fr, h0, w0, p0,
+            scale_factor_frames=scale_factor_frames,
+            scale_factor_bits=scale_factor_bits,
+            base=base,
+            dist=dist,
+            n_files=n_files,
+            use_pallas=use_pallas,
+        )
+
+    return jax.lax.map(one, (samples, frames, hist0, wts0, prev0))
 
 
 @partial(

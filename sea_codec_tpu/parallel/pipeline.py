@@ -33,9 +33,15 @@ from ..ops.device_decode import decode_chunks_fn
 from ..ops.device_encode import encode_windows_fn
 
 
-def make_mesh(n_devices: int | None = None, axis_names=("files", "chunks")) -> Mesh:
-    """A 2D mesh over the first ``n_devices`` devices (files x chunks)."""
-    devices = jax.devices()
+def make_mesh(
+    n_devices: int | None = None, axis_names=("files", "chunks"), devices=None
+) -> Mesh:
+    """A 2D mesh over the first ``n_devices`` devices (files x chunks).
+
+    Pass ``devices=jax.local_devices()`` for a per-host mesh in a
+    multi-host (jax.distributed) deployment."""
+    if devices is None:
+        devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = devices[:n_devices]
@@ -143,6 +149,120 @@ def corpus_transcode_step(
     )
     with mesh:
         return step_jit(jax.device_put(samples, files_spec))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "sff", "sfb", "residual_size", "n_files", "use_pallas"),
+)
+def _corpus_cbr_blocks_sharded(
+    mesh, samples, frames, tail_idx, hist0, wts0, prev0,
+    sff, sfb, residual_size, n_files, use_pallas,
+):
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.encode_file import _corpus_cbr_packed_core
+
+    spec = P(tuple(mesh.axis_names))
+
+    def local(smp, fr, ti, h, w, pv):
+        def one(args):
+            return _corpus_cbr_packed_core(
+                *args,
+                scale_factor_frames=sff,
+                scale_factor_bits=sfb,
+                residual_size=residual_size,
+                n_files=n_files,
+                use_pallas=use_pallas,
+            )
+
+        return jax.lax.map(one, (smp, fr, ti, h, w, pv))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=(spec,) * 8,
+        check_rep=False,
+    )
+    return fn(samples, frames, tail_idx, hist0, wts0, prev0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "sff", "sfb", "base", "dist", "n_files", "use_pallas"),
+)
+def _corpus_vbr_blocks_sharded(
+    mesh, samples, frames, hist0, wts0, prev0,
+    sff, sfb, base, dist, n_files, use_pallas,
+):
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.encode_file import _corpus_vbr_nv_core
+
+    spec = P(tuple(mesh.axis_names))
+
+    def local(smp, fr, h, w, pv):
+        def one(args):
+            return _corpus_vbr_nv_core(
+                *args,
+                scale_factor_frames=sff,
+                scale_factor_bits=sfb,
+                base=base,
+                dist=dist,
+                n_files=n_files,
+                use_pallas=use_pallas,
+            )
+
+        return jax.lax.map(one, (smp, fr, h, w, pv))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec,) * 5,
+        out_specs=(spec,) * 8,
+        check_rep=False,
+    )
+    return fn(samples, frames, hist0, wts0, prev0)
+
+
+def encode_corpus_blocks_sharded(
+    mesh: Mesh,
+    vbr: bool,
+    samples,  # [NB, nc, fpc, B] with NB a multiple of mesh.size
+    frames,  # [NB, B]
+    tail_idx,  # [NB, n_files] (CBR only; ignored for VBR)
+    hist0, wts0, prev0,  # [NB, B, 4] / [NB, B]
+    *,
+    sff: int,
+    sfb: int,
+    residual_size: int = 0,
+    base: int = 0,
+    dist: tuple = (),
+    n_files: int,
+    use_pallas: bool,
+):
+    """Mesh-parallel corpus encode: lane *blocks* shard across every mesh
+    axis (pure data parallelism -- blocks are independent streams, so the
+    SPMD program has no collectives; the analog of the format-level file
+    parallelism the reference's container was designed for,
+    ``/root/reference/README.md:88-121``). Each device runs the fused
+    scan + on-device serialization for its blocks; outputs come back
+    sharded the same way and are fetched once by the caller."""
+    spec = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    put = lambda a: jax.device_put(a, spec)
+    if vbr:
+        return _corpus_vbr_blocks_sharded(
+            mesh, put(samples), put(frames), put(hist0), put(wts0), put(prev0),
+            sff=sff, sfb=sfb, base=base, dist=dist,
+            n_files=n_files, use_pallas=use_pallas,
+        )
+    return _corpus_cbr_blocks_sharded(
+        mesh, put(samples), put(frames), put(tail_idx),
+        put(hist0), put(wts0), put(prev0),
+        sff=sff, sfb=sfb, residual_size=residual_size,
+        n_files=n_files, use_pallas=use_pallas,
+    )
 
 
 def decode_chunk_batch_sharded(

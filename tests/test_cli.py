@@ -170,3 +170,29 @@ def test_wav_float_conversion_rounds_half_away(tmp_path):
     np.testing.assert_array_equal(
         wave.samples, np.array([1, 2, 3, 4, 5, -1, -2, -3, -4, -5], dtype=np.int16)
     )
+
+
+def test_batch_cli_mesh_roundtrip(tmp_path):
+    """--mesh shards the corpus over the (virtual) device mesh; outputs are
+    byte-identical to the unsharded run."""
+    from sea_codec_tpu.batch_cli import main as batch_main
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "sea"
+    outdir2 = tmp_path / "sea2"
+    indir.mkdir()
+    for i in range(6):
+        s = gen_test_signal(2, 700 + 100 * i)
+        write_wav(s, 2, TEST_SAMPLE_RATE, str(indir / f"f{i}.wav"))
+    assert batch_main([str(indir / "*.wav"), str(outdir), "-c", "200", "--mesh"]) == 0
+    assert batch_main([str(indir / "*.wav"), str(outdir2), "-c", "200"]) == 0
+    for i in range(6):
+        a = (outdir / f"f{i}.sea").read_bytes()
+        b = (outdir2 / f"f{i}.sea").read_bytes()
+        assert a == b
+
+    wavdir = tmp_path / "wav"
+    assert batch_main([str(outdir / "*.sea"), str(wavdir), "--mesh"]) == 0
+    for i in range(6):
+        out = read_wav(str(wavdir / f"f{i}.wav"))
+        assert out.samples.shape[0] > 0

@@ -76,3 +76,60 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_encode_corpus_mesh_byte_identical():
+    """The real bytes pipeline on an 8-device mesh: encode_corpus with lane
+    blocks sharded across the mesh produces bytes identical to per-file
+    encoding (and to the single-device corpus path)."""
+    from sea_codec_tpu.batch import encode_corpus, encode_sea
+
+    mesh = make_mesh(8)
+    c = 32  # 4 files per 128-lane block -> a 40-file corpus spans 10 blocks
+    sig = gen_test_signal(c, 260)
+    lens = [260, 250, 100, 73, 199] * 8
+    files = [sig[: f * c] for f in lens]
+    st = EncoderSettings(frames_per_chunk=100, scale_factor_frames=10)
+    got = encode_corpus(files, TEST_SAMPLE_RATE, c, st, mesh=mesh)
+    for i, f in enumerate(files[:5]):
+        want = encode_sea(f, TEST_SAMPLE_RATE, c, st)
+        assert got[i] == want, i
+    assert got[:5] == got[5:10] == got[35:40]
+
+
+def test_encode_corpus_mesh_vbr_byte_identical():
+    from sea_codec_tpu.batch import encode_corpus, encode_sea
+
+    mesh = make_mesh(4)
+    c = 32
+    sig = gen_test_signal(c, 210)
+    files = [sig[: f * c] for f in (210, 200, 64)] * 4
+    st = EncoderSettings(
+        frames_per_chunk=100, scale_factor_frames=10, residual_bits=2.5, vbr=True
+    )
+    got = encode_corpus(files, TEST_SAMPLE_RATE, c, st, mesh=mesh)
+    for i, f in enumerate(files[:3]):
+        want = encode_sea(f, TEST_SAMPLE_RATE, c, st)
+        assert got[i] == want, i
+
+
+def test_decode_corpus_mesh_byte_identical():
+    """Chunk-parallel decode of real .sea bytes sharded over the mesh."""
+    from sea_codec_tpu.batch import decode_corpus, decode_sea, encode_sea
+
+    mesh = make_mesh(8)
+    c = 2
+    sig = gen_test_signal(c, 3000)
+    st = EncoderSettings(frames_per_chunk=250, scale_factor_frames=10)
+    stv = EncoderSettings(
+        frames_per_chunk=250, scale_factor_frames=10, residual_bits=2.5, vbr=True
+    )
+    encs = [
+        encode_sea(sig[: f * c], TEST_SAMPLE_RATE, c, s)
+        for f in (3000, 2990, 777)
+        for s in (st, stv)
+    ]
+    got = decode_corpus(encs, mesh=mesh)
+    for enc, out in zip(encs, got):
+        want = decode_sea(enc)
+        np.testing.assert_array_equal(np.asarray(out.samples), np.asarray(want.samples))

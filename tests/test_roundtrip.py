@@ -67,3 +67,36 @@ def test_extreme_scale_factor_bits(scale_factor_bits):
     assert decoded.samples.shape == samples.shape
     _, psnr = audio_quality(samples, decoded.samples)
     assert psnr < -15.0, (scale_factor_bits, psnr)
+
+
+def test_255_channels_end_to_end():
+    """The published channel-count ceiling (reference README.md:15, header
+    field u8): encode -> decode at 255 channels through both engines, with
+    the >128-lane XLA fallback on the batch path and a ragged tail chunk."""
+    import numpy as np
+
+    from sea_codec_tpu.batch import decode_sea, encode_sea
+
+    c = 255
+    frames = 230  # 2 full chunks of 100 + ragged 30
+    rng = np.random.default_rng(255)
+    base = gen_test_signal(1, frames)[:frames].astype(np.int32)
+    # decorrelate channels cheaply: per-channel circular shift + noise
+    samples = np.stack(
+        [np.roll(base, k % 17) + rng.integers(-50, 50) for k in range(c)], axis=1
+    )
+    samples = np.clip(samples, -32768, 32767).astype(np.int16).reshape(-1)
+    st = EncoderSettings(
+        frames_per_chunk=100, scale_factor_frames=10, residual_bits=4.0
+    )
+
+    enc_session = sea_encode(samples, TEST_SAMPLE_RATE, c, st, engine="session")
+    enc_batch = encode_sea(samples, TEST_SAMPLE_RATE, c, st)
+    assert enc_session == enc_batch
+
+    for decoded in (sea_decode(enc_batch), decode_sea(enc_batch)):
+        assert decoded.channels == c
+        out = np.asarray(decoded.samples)
+        assert out.shape[0] == frames * c
+        rms, psnr = audio_quality(samples, out)
+        assert psnr < -20.0, psnr

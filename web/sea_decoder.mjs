@@ -21,7 +21,7 @@ function buildDqt(sfb, rb) {
   const f = Math.fround;
   const nSf = 1 << sfb;
   const steps = 1 << (rb - 1);
-  const pf = f(IDEAL_POW_FACTOR[rb - 1] / f(sfb));
+  const pf = f(f(IDEAL_POW_FACTOR[rb - 1]) / f(sfb)); // both operands f32 first
   const scaleFactors = new Int32Array(nSf);
   for (let i = 1; i <= nSf; i++) scaleFactors[i - 1] = Math.trunc(f(Math.pow(i, pf)));
   const curve = new Float32Array(steps);
@@ -60,6 +60,7 @@ class BitReader {
   }
   next(bits) {
     while (this.stored < bits) {
+      if (this.pos >= this.bytes.length) throw new Error("truncated bitstream");
       this.carry = ((this.carry << 8) | this.bytes[this.pos++]) >>> 0;
       this.stored += 8;
     }
@@ -84,11 +85,17 @@ export function seaDecode(buffer) {
   const sampleRate = dv.getUint32(10, true);
   let totalFrames = dv.getUint32(14, true);
   const metadataLen = dv.getUint32(18, true);
+  // same header validation as the reference parser (src/codec/file.rs:33-38)
+  if (channels === 0 || chunkSize < 16 || framesPerChunk === 0 || sampleRate === 0)
+    throw new Error("invalid header fields");
   let pos = 22;
+  if (pos + metadataLen > data.length) throw new Error("truncated metadata");
   const metadata = new TextDecoder().decode(data.slice(pos, pos + metadataLen));
   pos += metadataLen;
 
   if (totalFrames === 0) {
+    // streaming mode: only whole chunk_size blocks are decodable (a trailing
+    // partial chunk cannot be sized without total_frames, chunk.rs:76-79)
     totalFrames = Math.floor((data.length - pos) / chunkSize) * framesPerChunk;
   }
   const out = new Int16Array(totalFrames * channels);
@@ -98,11 +105,17 @@ export function seaDecode(buffer) {
   while (framesDone < totalFrames && pos < data.length) {
     const c = data.subarray(pos, Math.min(pos + chunkSize, data.length));
     const nFrames = Math.min(framesPerChunk, totalFrames - framesDone);
+    if (c.length < 4 + channels * 16) throw new Error("truncated chunk");
     const chunkType = c[0];
     const sfb = c[1] >> 4;
     const residualSize = c[1] & 0x0f;
     const sff = c[2];
-    if ((chunkType !== 1 && chunkType !== 2) || sff === 0)
+    if (
+      (chunkType !== 1 && chunkType !== 2) ||
+      sfb < 1 || sfb > 8 ||
+      residualSize < 1 || residualSize > 8 ||
+      sff === 0
+    )
       throw new Error("bad chunk");
     let cpos = 4;
     // per-channel LMS entry state
@@ -132,7 +145,10 @@ export function seaDecode(buffer) {
       const vb = Math.ceil((sfItems * 2) / 8);
       sizes = new Uint8Array(sfItems);
       const r = new BitReader(c.subarray(cpos, cpos + vb));
-      for (let i = 0; i < sfItems; i++) sizes[i] = r.next(2) + residualSize - 1;
+      for (let i = 0; i < sfItems; i++) {
+        sizes[i] = r.next(2) + residualSize - 1;
+        if (sizes[i] < 1 || sizes[i] > 8) throw new Error("bad vbr residual size");
+      }
       cpos += vb;
     }
     for (let rb = 1; rb <= 8; rb++) {
