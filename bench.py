@@ -146,7 +146,7 @@ def main() -> None:
     enc1k_msps = n_1k / t_enc1k / 1e6
     log(f"corpus encode e2e (1000 stereo files, {n_1k/1e6:.0f} Msamples): "
         f"{t_enc1k:.2f}s = {enc1k_msps:.1f} Msamples/s")
-    decode_corpus(enc1k[:32])  # compile
+    decode_corpus(enc1k[:300])  # compile (covers the full device_batch shape)
     t0 = time.perf_counter()
     dec1k = decode_corpus(enc1k)
     t_dec1k = time.perf_counter() - t0
@@ -156,6 +156,43 @@ def main() -> None:
                                   np.asarray(dec1k[999].samples))
     log(f"corpus decode e2e (1000 files, incl. full PCM fetch): "
         f"{t_dec1k:.2f}s = {dec1k_msps:.1f} Msamples/s")
+
+    # ---- remaining BASELINE acceptance configs (compact shapes) ----
+    from sea_codec_tpu import sea_decode, sea_encode
+
+    mono = gen_test_signal(1, 16 * fpc)[: 16 * fpc]
+    sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)  # compile
+    t0 = time.perf_counter()
+    enc_m = sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)
+    dec_m = sea_decode(enc_m)
+    t_mono = time.perf_counter() - t0
+    assert dec_m.samples.shape[0] == mono.shape[0]
+    mono_msps = 2 * mono.shape[0] / t_mono / 1e6  # encode+decode samples
+    log(f"mono CBR-3 round trip: {t_mono:.2f}s = {mono_msps:.1f} Msamples/s (enc+dec)")
+
+    st8 = EncoderSettings(
+        residual_bits=3.0, frames_per_chunk=1024, metadata="title=bench\nartist=sea\n"
+    )
+    eight = gen_test_signal(8, 8 * 1024)[: 8 * 1024 * 8]
+    sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)  # compile
+    t0 = time.perf_counter()
+    enc_8 = sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
+    dec_8 = sea_decode(enc_8)
+    t_8 = time.perf_counter() - t0
+    assert dec_8.channels == 8 and dec_8.samples.shape[0] == eight.shape[0]
+    eight_msps = 2 * eight.shape[0] / t_8 / 1e6
+    log(f"8-channel + metadata round trip: {t_8:.2f}s = {eight_msps:.1f} Msamples/s (enc+dec)")
+
+    stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
+    vbr_files = [samples[: 8 * fpc * channels]] * 64
+    n_vbr = sum(f.shape[0] for f in vbr_files)
+    encode_corpus(vbr_files, TEST_SAMPLE_RATE, channels, stv)  # compile
+    t0 = time.perf_counter()
+    vbr_out = encode_corpus(vbr_files, TEST_SAMPLE_RATE, channels, stv)
+    t_vbr = time.perf_counter() - t0
+    assert vbr_out[0] == vbr_out[63]
+    vbr_msps = n_vbr / t_vbr / 1e6
+    log(f"VBR corpus encode (64 stereo files): {t_vbr:.2f}s = {vbr_msps:.1f} Msamples/s")
 
     # ---- end-to-end decode (host parse + device + full PCM fetch) ----
     reps = 3
@@ -218,6 +255,9 @@ def main() -> None:
                 "corpus_encode_device_Msps": round(enc_dev_msps, 2),
                 "corpus1000_encode_Msps": round(enc1k_msps, 2),
                 "corpus1000_decode_Msps": round(dec1k_msps, 2),
+                "mono_roundtrip_Msps": round(mono_msps, 2),
+                "multichannel8_roundtrip_Msps": round(eight_msps, 2),
+                "vbr_corpus_encode_Msps": round(vbr_msps, 2),
                 "compression_ratio": round(ratio, 2),
                 "psnr_db": round(psnr, 1),
                 "n_samples": n_samples, "n_decode_samples": n_dec_samples,

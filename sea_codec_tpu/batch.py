@@ -865,16 +865,23 @@ def decode_corpus(
                 wts[startk:endk],
             )
             n_real = endk - startk
+            # Pad partial batches up to one compiled shape (a second batch
+            # shape costs a full XLA compile, ~tens of seconds on the remote
+            # compile service) and, under a mesh, to a whole number of
+            # shards. Repeating a valid row keeps every decoded config in
+            # range; the padding rows are sliced off before the fetch.
+            target = device_batch if n > device_batch else n_real
             if mesh_size:
-                # pad the chunk batch to a whole number of shards (repeating
-                # a valid row keeps every decoded config in range) and place
-                # it sharded; the SPMD decode partitions with no collectives
-                pad = -n_real % mesh_size
-                if pad:
-                    args = tuple(
-                        np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
-                        for a in args
-                    )
+                target += -target % mesh_size
+            pad = target - n_real
+            if pad:
+                args = tuple(
+                    np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                    for a in args
+                )
+            if mesh_size:
+                # sharded placement: the SPMD decode partitions with no
+                # collectives (chunks are self-contained)
                 args = tuple(jax.device_put(a, chunk_spec) for a in args)
             else:
                 args = tuple(jnp.asarray(a) for a in args)
@@ -886,8 +893,17 @@ def decode_corpus(
                 residual_size=residual_size,
                 use_pallas=use_pallas,
             )
-            outs.append(out[:n_real] if mesh_size else out)
-        pcm = np.concatenate([np.asarray(o) for o in outs])  # [n, fpc, c]
+            outs.append(out[:n_real] if pad else out)
+        if len(outs) > 1:
+            # concurrent fetches pipeline the relay link far better than one
+            # large sequential device_get per batch
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(4, len(outs))) as ex:
+                pcms = list(ex.map(np.asarray, outs))
+        else:
+            pcms = [np.asarray(o) for o in outs]
+        pcm = np.concatenate(pcms)  # [n, fpc, c]
         pos = 0
         for fi, b in members:
             cnt = b.res_bytes.shape[0]
