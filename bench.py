@@ -50,7 +50,9 @@ def main() -> None:
 
     channels = 2
     n_chunks = 128  # encoded corpus; decode measures on a tiled multiple
-    decode_mult = 32  # 4096 chunks / 42M samples per decode call
+    decode_mult = 128  # 16384 chunks / 168M samples per decode call
+    # (the relay adds ~30 ms fixed dispatch+probe cost per call; the batch
+    # size amortizes it -- scaling measured: t = 30 ms + 0.73 ms/Msample)
     fpc = 5120
     frames = n_chunks * fpc
     settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=fpc)

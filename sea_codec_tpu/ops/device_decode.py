@@ -42,6 +42,14 @@ def decode_chunks_fn(
     w = sf_codes.shape[1]
     n_sf = dqt_flat.shape[0] // (8 * 256)
     assert w * scale_factor_frames >= f
+    sfb = int(np.log2(n_sf))
+
+    # Design note: a fused kernel that dequantizes *inside* the Pallas LMS
+    # kernel (cutting the [N, F, C] int32 dq intermediate out of HBM) was
+    # built and measured bit-exact but ~1.9x SLOWER end to end on v5e,
+    # invariant under const-load hoisting and a vectorized dequant phase
+    # into VMEM scratch -- the XLA prolog + plain recurrence kernel below is
+    # the faster split, so it stays.
 
     # Per-window dequantization constants via small gathers ([N, W, C], 20x
     # fewer elements than per-sample), then the per-sample dequantized value
@@ -50,8 +58,6 @@ def decode_chunks_fn(
     # The closed forms reproduce the table build exactly (see FORMAT.md and
     # ops/pallas_encode.py); bit-equality with the gather path is tested.
     from .pallas_encode import _rs_constants
-
-    sfb = int(np.log2(n_sf))
     sfval_t, _recip, c0_t, stepf_t, endv_t, kmax_t, _cl = _rs_constants(sfb)
     sf_w = sf_codes.astype(jnp.int32)
     rs_w = rs.astype(jnp.int32)

@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE_BLOCK = 8 * 128  # lanes per grid step: one [8, 128] int32 tile
+# Lanes per grid step. Wider tiles amortize the fori_loop's per-iteration
+# overhead (the dominant cost at [8, 128]: ~25 VPU ops of real work per
+# step) across 4 registers per state plane; 32 sublanes keeps the 8 state
+# planes at 32 vregs, inside the register file.
+SUBLANES = 32
+LANE_BLOCK = SUBLANES * 128
 
 
 def _decode_kernel(lms_ref, dq_ref, out_ref, h_scratch, w_scratch):
@@ -78,31 +83,33 @@ def _decode_kernel(lms_ref, dq_ref, out_ref, h_scratch, w_scratch):
         w_scratch[i] = carry[4 + i]
 
 
-@partial(jax.jit, static_argnames=("time_block",))
+@partial(jax.jit, static_argnames=("time_block", "sublanes"))
 def lms_decode_lanes(
-    dq: jnp.ndarray,  # int32[T, R, 128], T % time_block == 0, R % 8 == 0
+    dq: jnp.ndarray,  # int32[T, R, 128], T % time_block == 0, R % sublanes == 0
     lms: jnp.ndarray,  # int32[8, R, 128]: planes h0..h3, w0..w3
     time_block: int = 512,
+    sublanes: int = SUBLANES,
 ) -> jnp.ndarray:  # int32[T, R, 128] reconstructed samples
     t, r, _ = dq.shape
-    assert t % time_block == 0 and r % 8 == 0
-    grid = (r // 8, t // time_block)
+    s = sublanes
+    assert t % time_block == 0 and r % s == 0
+    grid = (r // s, t // time_block)
     return pl.pallas_call(
         _decode_kernel,
         out_shape=jax.ShapeDtypeStruct((t, r, 128), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, 8, 128), lambda l, tt: (l * 0, l, l * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s, 128), lambda l, tt: (l * 0, l, l * 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (time_block, 8, 128), lambda l, tt: (tt, l, tt * 0), memory_space=pltpu.VMEM
+                (time_block, s, 128), lambda l, tt: (tt, l, tt * 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (time_block, 8, 128), lambda l, tt: (tt, l, tt * 0), memory_space=pltpu.VMEM
+            (time_block, s, 128), lambda l, tt: (tt, l, tt * 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, 8, 128), jnp.int32),
-            pltpu.VMEM((4, 8, 128), jnp.int32),
+            pltpu.VMEM((4, s, 128), jnp.int32),
+            pltpu.VMEM((4, s, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -119,11 +126,20 @@ def decode_scan_pallas(
     """Lane-major wrapper: pad/transpose, run the kernel, un-pad."""
     n, f, c = dq.shape
     b = n * c
-    b_pad = -(-b // LANE_BLOCK) * LANE_BLOCK
-    tb = 512 if f % 512 == 0 else 256 if f % 256 == 0 else 128 if f % 128 == 0 else 0
+    # wide lane tiles for big batches; narrow for small ones (less padding)
+    s_sub = SUBLANES if b > 2048 else 8
+    lane_block = s_sub * 128
+    b_pad = -(-b // lane_block) * lane_block
+    # keep tb * s_sub * 128B (x2 for in+out, x2 double-buffered) inside VMEM
+    tb_max = 4096 // s_sub
+    tb = 0
+    for cand in (512, 256, 128):
+        if cand <= tb_max and f % cand == 0:
+            tb = cand
+            break
     if tb == 0:
-        f_pad = -(-f // 128) * 128
-        tb = 128
+        tb = min(128, tb_max)
+        f_pad = -(-f // tb) * tb
     else:
         f_pad = f
 
@@ -134,34 +150,37 @@ def decode_scan_pallas(
     lms_l = lms_l.at[:, :b].set(state.reshape(b, 8).T)
 
     r = b_pad // 128
-    fn = lms_decode_lanes
     if interpret:
-        fn = partial(_lms_decode_lanes_interpret, time_block=tb)
-        out = fn(dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128))
+        out = _lms_decode_lanes_interpret(
+            dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128),
+            time_block=tb, sublanes=s_sub,
+        )
     else:
-        out = fn(
-            dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128), time_block=tb
+        out = lms_decode_lanes(
+            dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128),
+            time_block=tb, sublanes=s_sub,
         )
     out = out.reshape(f_pad, b_pad)[:f, :b]
     return out.reshape(f, n, c).transpose(1, 0, 2).astype(jnp.int16)
 
 
-def _lms_decode_lanes_interpret(dq, lms, time_block):
+def _lms_decode_lanes_interpret(dq, lms, time_block, sublanes=8):
     """Interpreter-mode variant for CPU tests."""
     t, r, _ = dq.shape
-    grid = (r // 8, t // time_block)
+    s = sublanes
+    grid = (r // s, t // time_block)
     return pl.pallas_call(
         _decode_kernel,
         out_shape=jax.ShapeDtypeStruct((t, r, 128), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, 8, 128), lambda l, tt: (l * 0, l, l * 0)),
-            pl.BlockSpec((time_block, 8, 128), lambda l, tt: (tt, l, tt * 0)),
+            pl.BlockSpec((8, s, 128), lambda l, tt: (l * 0, l, l * 0)),
+            pl.BlockSpec((time_block, s, 128), lambda l, tt: (tt, l, tt * 0)),
         ],
-        out_specs=pl.BlockSpec((time_block, 8, 128), lambda l, tt: (tt, l, tt * 0)),
+        out_specs=pl.BlockSpec((time_block, s, 128), lambda l, tt: (tt, l, tt * 0)),
         scratch_shapes=[
-            pltpu.VMEM((4, 8, 128), jnp.int32),
-            pltpu.VMEM((4, 8, 128), jnp.int32),
+            pltpu.VMEM((4, s, 128), jnp.int32),
+            pltpu.VMEM((4, s, 128), jnp.int32),
         ],
         interpret=True,
     )(lms, dq)
