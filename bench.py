@@ -169,21 +169,19 @@ def main() -> None:
     dec_m = sea_decode(enc_m)
     t_mono = time.perf_counter() - t0
     assert dec_m.samples.shape[0] == mono.shape[0]
-    mono_msps = 2 * mono.shape[0] / t_mono / 1e6  # encode+decode samples
-    log(f"mono CBR-3 round trip: {t_mono:.2f}s = {mono_msps:.1f} Msamples/s (enc+dec)")
+    log(f"mono CBR-3 round trip (81920 frames, single file): {t_mono*1e3:.0f} ms")
 
     st8 = EncoderSettings(
-        residual_bits=3.0, frames_per_chunk=1024, metadata="title=bench\nartist=sea\n"
+        residual_bits=3.0, frames_per_chunk=1000, metadata="title=bench\nartist=sea\n"
     )
-    eight = gen_test_signal(8, 8 * 1024)[: 8 * 1024 * 8]
+    eight = gen_test_signal(8, 8 * 1000)[: 8 * 1000 * 8]
     sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)  # compile
     t0 = time.perf_counter()
     enc_8 = sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
     dec_8 = sea_decode(enc_8)
     t_8 = time.perf_counter() - t0
     assert dec_8.channels == 8 and dec_8.samples.shape[0] == eight.shape[0]
-    eight_msps = 2 * eight.shape[0] / t_8 / 1e6
-    log(f"8-channel + metadata round trip: {t_8:.2f}s = {eight_msps:.1f} Msamples/s (enc+dec)")
+    log(f"8-channel + metadata round trip (8000 frames, single file): {t_8*1e3:.0f} ms")
 
     stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
     vbr_files = [samples[: 8 * fpc * channels]] * 64
@@ -257,8 +255,8 @@ def main() -> None:
                 "corpus_encode_device_Msps": round(enc_dev_msps, 2),
                 "corpus1000_encode_Msps": round(enc1k_msps, 2),
                 "corpus1000_decode_Msps": round(dec1k_msps, 2),
-                "mono_roundtrip_Msps": round(mono_msps, 2),
-                "multichannel8_roundtrip_Msps": round(eight_msps, 2),
+                "mono_roundtrip_ms": round(t_mono * 1e3, 1),
+                "multichannel8_roundtrip_ms": round(t_8 * 1e3, 1),
                 "vbr_corpus_encode_Msps": round(vbr_msps, 2),
                 "compression_ratio": round(ratio, 2),
                 "psnr_db": round(psnr, 1),

@@ -557,10 +557,8 @@ def encode_corpus(
         ).serialize()
 
     def assemble_cbr(entry) -> None:
-        metas, out = entry
-        rows, tail_sf, tail_codes, tail_eh, tail_ew, _fh, _fw, _fp = (
-            jax.device_get(out)
-        )
+        metas, fut = entry
+        rows, tail_sf, tail_codes, tail_eh, tail_ew, _fh, _fw, _fp = fut.result()
         for bi, (idxs, group, frames) in enumerate(metas):
             for j, (i, fr) in enumerate(zip(idxs, frames)):
                 header = make_header(fr)
@@ -585,8 +583,8 @@ def encode_corpus(
                 results[i] = header.serialize() + b"".join(body_parts)
 
     def assemble_vbr(entry) -> None:
-        metas, out = entry
-        sf, codes, sizes, ehist, ewts, fhist, fwts, fprev = jax.device_get(out)
+        metas, fut = entry
+        sf, codes, sizes, ehist, ewts, fhist, fwts, fprev = fut.result()
         for bi, (idxs, group, frames) in enumerate(metas):
             for j, (i, fr) in enumerate(zip(idxs, frames)):
                 lanes = slice(j * c, (j + 1) * c)
@@ -618,6 +616,10 @@ def encode_corpus(
 
     assemble = assemble_vbr if settings.vbr else assemble_cbr
 
+    # fetches run on a background thread: download of super-call k overlaps
+    # the upload/dispatch of k+1 (the relay link is full-duplex) and the
+    # host-side container assembly
+    from concurrent.futures import ThreadPoolExecutor
     from collections import deque
 
     # Lane groups (<=128 lanes each) batch further into multi-block device
@@ -638,6 +640,7 @@ def encode_corpus(
     ]
 
     staged: deque = deque()
+    fetcher = ThreadPoolExecutor(max_workers=2)
     for s0 in range(0, len(granges), blocks_per_call):
         sub = granges[s0 : s0 + blocks_per_call]
         nb = len(sub)
@@ -720,11 +723,12 @@ def encode_corpus(
                 n_files=group_size,
                 use_pallas=use_pallas,
             )
-        staged.append((metas, out))
+        staged.append((metas, fetcher.submit(jax.device_get, out)))
         if len(staged) > pipeline_depth:
             assemble(staged.popleft())
     while staged:
         assemble(staged.popleft())
+    fetcher.shutdown()
     return results
 
 

@@ -133,3 +133,39 @@ def test_decode_corpus_mesh_byte_identical():
     for enc, out in zip(encs, got):
         want = decode_sea(enc)
         np.testing.assert_array_equal(np.asarray(out.samples), np.asarray(want.samples))
+
+
+def test_mesh_corpus_fuzz_byte_identity():
+    """Differential fuzz: random configs/lengths through the mesh corpus
+    pipeline must be byte-identical to the single-device engines."""
+    from sea_codec_tpu.batch import decode_corpus, decode_sea, encode_corpus, encode_sea
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1234)
+    for trial in range(4):
+        c = int(rng.choice([1, 2, 8, 32]))
+        sfb = int(rng.integers(3, 6))
+        sff = int(rng.choice([5, 10, 20]))
+        fpc = sff * int(rng.integers(4, 11))
+        vbr = bool(rng.integers(0, 2))
+        rb = float(rng.integers(2, 5)) + (0.5 if vbr else 0.0)
+        st = EncoderSettings(
+            scale_factor_bits=sfb, scale_factor_frames=sff,
+            residual_bits=rb, frames_per_chunk=fpc, vbr=vbr,
+        )
+        n_files = int(rng.integers(3, 10)) * (4 if c <= 2 else 1)
+        sig = gen_test_signal(c, 3 * fpc + 7)
+        files = [
+            sig[: int(rng.integers(1, 3 * fpc + 7)) * c] for _ in range(n_files)
+        ]
+        got = encode_corpus(files, TEST_SAMPLE_RATE, c, st, mesh=mesh)
+        for i in rng.choice(n_files, size=min(3, n_files), replace=False):
+            assert got[i] == encode_sea(files[i], TEST_SAMPLE_RATE, c, st), (
+                trial, c, sfb, sff, fpc, vbr, i,
+            )
+        dec = decode_corpus(got, mesh=mesh)
+        for i in rng.choice(n_files, size=min(2, n_files), replace=False):
+            np.testing.assert_array_equal(
+                np.asarray(dec[i].samples),
+                np.asarray(decode_sea(got[i]).samples),
+            )
