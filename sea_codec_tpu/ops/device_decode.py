@@ -82,6 +82,9 @@ def decode_chunks_fn(
     dq = jnp.where((q & 1) == 1, -dq_abs, dq_abs)
 
     if use_pallas:
+        # (a lane-major variant that transposes the 1-byte codes instead of
+        # the int32 dq measured ~4% slower -- XLA already fuses this
+        # transpose into the dequant producer, so [N, F, C] stays)
         from .pallas_decode import decode_scan_pallas
 
         return decode_scan_pallas(dq, hist0, wts0, interpret=pallas_interpret)

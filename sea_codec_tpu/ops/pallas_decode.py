@@ -117,15 +117,20 @@ def lms_decode_lanes(
     )(lms, dq)
 
 
-def decode_scan_pallas(
-    dq: jnp.ndarray,  # int32[N, F, C] pre-gathered dequantized values
+def decode_scan_pallas_lanes(
+    dq_l: jnp.ndarray,  # int32[F, B] dequantized values, lane-major
     hist0: jnp.ndarray,  # int32[N, C, 4]
     wts0: jnp.ndarray,  # int32[N, C, 4]
+    n: int,
+    c: int,
     interpret: bool = False,
 ) -> jnp.ndarray:  # int16[N, F, C]
-    """Lane-major wrapper: pad/transpose, run the kernel, un-pad."""
-    n, f, c = dq.shape
-    b = n * c
+    """Pad the lane-major inputs, run the kernel, un-pad, restore [N, F, C].
+
+    Taking dq already lane-major lets the caller compute the dequantization
+    in that layout (transposing the 1-byte codes instead of the 4-byte dq)."""
+    f, b = dq_l.shape
+    assert b == n * c
     # wide lane tiles for big batches; narrow for small ones (less padding)
     s_sub = SUBLANES if b > 2048 else 8
     lane_block = s_sub * 128
@@ -143,8 +148,8 @@ def decode_scan_pallas(
     else:
         f_pad = f
 
-    dq_l = jnp.zeros((f_pad, b_pad), dtype=jnp.int32)
-    dq_l = dq_l.at[:f, :b].set(dq.reshape(n, f, c).transpose(1, 0, 2).reshape(f, b))
+    if (f_pad, b_pad) != (f, b):
+        dq_l = jnp.zeros((f_pad, b_pad), dtype=jnp.int32).at[:f, :b].set(dq_l)
     lms_l = jnp.zeros((8, b_pad), dtype=jnp.int32)
     state = jnp.concatenate([hist0, wts0], axis=-1)  # [N, C, 8]
     lms_l = lms_l.at[:, :b].set(state.reshape(b, 8).T)
@@ -162,6 +167,17 @@ def decode_scan_pallas(
         )
     out = out.reshape(f_pad, b_pad)[:f, :b]
     return out.reshape(f, n, c).transpose(1, 0, 2).astype(jnp.int16)
+
+
+def decode_scan_pallas(
+    dq: jnp.ndarray,  # int32[N, F, C] pre-gathered dequantized values
+    hist0: jnp.ndarray,  # int32[N, C, 4]
+    wts0: jnp.ndarray,  # int32[N, C, 4]
+    interpret: bool = False,
+) -> jnp.ndarray:  # int16[N, F, C]
+    n, f, c = dq.shape
+    dq_l = dq.transpose(1, 0, 2).reshape(f, n * c)
+    return decode_scan_pallas_lanes(dq_l, hist0, wts0, n, c, interpret=interpret)
 
 
 def _lms_decode_lanes_interpret(dq, lms, time_block, sublanes=8):
