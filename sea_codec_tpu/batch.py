@@ -229,8 +229,26 @@ def serialize_full_chunks(
 
     All full chunks share section lengths (for VBR too: the distribution
     counts are static per full chunk, so the residual bit total is constant),
-    making the whole container body one rectangular pack.
+    making the whole container body one rectangular pack. Bitpacking runs
+    through the native C++ packer when available (rows shard across threads;
+    the pure-numpy ``bitpack`` path is the fallback) -- this is the VBR hot
+    path, since variable-width residuals cannot use the device serializer's
+    static layouts.
     """
+    from .native import available as native_available
+
+    if native_available():
+        from .native import native_pack_rows
+
+        def pack_rows(values, widths):
+            if np.isscalar(widths) or np.ndim(widths) == 0:
+                total = int(widths) * values.shape[1]
+            else:
+                total = int(np.asarray(widths)[0].sum())
+            return native_pack_rows(values, widths, (total + 7) // 8)
+    else:
+        pack_rows = bitpack.pack_bits_rows
+
     nc, w, c = sf.shape
     fpc = codes.shape[1]
     sff = scale_factor_frames
@@ -250,17 +268,17 @@ def serialize_full_chunks(
     lms_bytes = (
         np.ascontiguousarray(lms.astype("<i2")).reshape(nc, -1).view(np.uint8)
     )
-    sf_packed = bitpack.pack_bits_rows(sf.reshape(nc, w * c), scale_factor_bits)
+    sf_packed = pack_rows(sf.reshape(nc, w * c), scale_factor_bits)
     parts = [head, lms_bytes, sf_packed]
     if sizes is not None:
-        rel = sizes.astype(np.int32) - residual_size + 1
-        parts.append(bitpack.pack_bits_rows(rel.reshape(nc, w * c), 2))
+        rel = (sizes.astype(np.int32) - residual_size + 1).astype(np.uint8)
+        parts.append(pack_rows(rel.reshape(nc, w * c), 2))
         widths = np.repeat(sizes.astype(np.int64), sff, axis=1)[:, :fpc]
         parts.append(
-            bitpack.pack_bits_rows(codes.reshape(nc, fpc * c), widths.reshape(nc, fpc * c))
+            pack_rows(codes.reshape(nc, fpc * c), widths.reshape(nc, fpc * c))
         )
     else:
-        parts.append(bitpack.pack_bits_rows(codes.reshape(nc, fpc * c), residual_size))
+        parts.append(pack_rows(codes.reshape(nc, fpc * c), residual_size))
     return np.hstack(parts)
 
 

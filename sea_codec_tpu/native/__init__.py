@@ -4,6 +4,7 @@ from .binding import (
     native_dump_dqt,
     native_dump_reciprocals,
     native_encode,
+    native_pack_rows,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "native_decode",
     "native_dump_dqt",
     "native_dump_reciprocals",
+    "native_pack_rows",
 ]

@@ -85,6 +85,16 @@ def _get():
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.sea_native_pack_rows.restype = None
+    lib.sea_native_pack_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return _lib
 
@@ -183,4 +193,54 @@ def native_dump_reciprocals(scale_factor_bits: int, residual_bits: int) -> np.nd
     lib.sea_native_dump_reciprocals(
         scale_factor_bits, residual_bits, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     )
+    return out
+
+
+def native_pack_rows(
+    values: np.ndarray,  # uint8[N, count]
+    widths,  # int (constant) or uint8[N, count] per-item widths
+    row_bytes: int,
+    n_threads: int = 4,
+) -> np.ndarray:
+    """Row-batched MSB-first bitpack through the C++ codec -> uint8[N, row_bytes].
+
+    The C call releases the GIL, so independent row blocks pack on a small
+    thread pool. Semantics identical to ``ops.bitpack.pack_bits_rows``."""
+    lib = _get()
+    assert lib is not None
+    values = np.ascontiguousarray(values, dtype=np.uint8)
+    n, count = values.shape
+    out = np.zeros((n, row_bytes), dtype=np.uint8)
+    if np.isscalar(widths) or np.ndim(widths) == 0:
+        const_w = int(widths)
+        warr = None
+    else:
+        const_w = 0
+        warr = np.ascontiguousarray(widths, dtype=np.uint8)
+        assert warr.shape == (n, count)
+    if n == 0 or count == 0:
+        return out
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def pack_block(r0: int, r1: int) -> None:
+        lib.sea_native_pack_rows(
+            values[r0:r1].ctypes.data_as(u8p),
+            warr[r0:r1].ctypes.data_as(u8p) if warr is not None else None,
+            const_w,
+            r1 - r0,
+            count,
+            row_bytes,
+            out[r0:r1].ctypes.data_as(u8p),
+        )
+
+    if n < 64 or n_threads <= 1:
+        pack_block(0, n)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        step = -(-n // n_threads)
+        bounds = [(r, min(r + step, n)) for r in range(0, n, step)]
+        with ThreadPoolExecutor(len(bounds)) as ex:
+            list(ex.map(lambda b: pack_block(*b), bounds))
     return out

@@ -636,4 +636,35 @@ void sea_native_dump_reciprocals(int sfb, int rb, int32_t* out /* [2^sfb] */) {
     for (int s = 0; s < (1 << sfb); s++) out[s] = t.reciprocals[rb][s];
 }
 
+// Row-batched MSB-first bitpacking for the Python batch serializer: the VBR
+// residual section has data-dependent per-item widths, which neither the
+// device serializer (static layouts only) nor vectorized numpy handles well.
+// widths == NULL packs every item at const_width bits. Rows are independent;
+// the ctypes call releases the GIL, so the Python side shards rows across
+// threads. Output rows are row_bytes apart, final partial byte left-aligned.
+void sea_native_pack_rows(const uint8_t* values, const uint8_t* widths,
+                          int const_width, long n_rows, long count,
+                          long row_bytes, uint8_t* out) {
+    for (long r = 0; r < n_rows; r++) {
+        const uint8_t* v = values + r * count;
+        const uint8_t* w = widths ? widths + r * count : nullptr;
+        uint8_t* o = out + r * row_bytes;
+        uint32_t acc = 0;
+        int stored = 0;
+        long pos = 0;
+        for (long i = 0; i < count; i++) {
+            int width = w ? w[i] : const_width;
+            acc = (acc << width) | (uint32_t)(v[i] & ((1u << width) - 1u));
+            stored += width;
+            while (stored >= 8) {
+                o[pos++] = (uint8_t)(acc >> (stored - 8));
+                stored -= 8;
+            }
+            acc &= (1u << stored) - 1u;
+        }
+        if (stored > 0) o[pos++] = (uint8_t)(acc << (8 - stored));
+        while (pos < row_bytes) o[pos++] = 0;
+    }
+}
+
 }  // extern "C"

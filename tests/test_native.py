@@ -115,3 +115,27 @@ def test_native_decode_rejects_corrupt_config_bytes():
             native_decode(data)
         except ValueError:
             pass  # rejected cleanly
+
+
+def test_native_pack_rows_matches_bitpack():
+    """The C++ row packer must be bit-identical to ops.bitpack for constant
+    and per-item widths (it serves the VBR serializer hot path)."""
+    from sea_codec_tpu.native import native_pack_rows
+    from sea_codec_tpu.ops import bitpack
+
+    rng = np.random.default_rng(5)
+    for n, count in ((1, 1), (7, 13), (65, 399), (200, 1024)):
+        w = int(rng.integers(1, 9))
+        vals = rng.integers(0, 1 << w, size=(n, count)).astype(np.uint8)
+        want = bitpack.pack_bits_rows(vals, w)
+        np.testing.assert_array_equal(
+            native_pack_rows(vals, w, want.shape[1]), want
+        )
+        wd = np.repeat(rng.integers(1, 9, size=(1, count)).astype(np.uint8), n, axis=0)
+        vals = (
+            rng.integers(0, 256, size=(n, count)) % (1 << wd.astype(np.int64))
+        ).astype(np.uint8)
+        want = bitpack.pack_bits_rows(vals, wd)
+        np.testing.assert_array_equal(
+            native_pack_rows(vals, wd, want.shape[1]), want
+        )
