@@ -501,7 +501,6 @@ def encode_corpus(
     fpc = settings.frames_per_chunk
     sff = settings.scale_factor_frames
     sfb = settings.scale_factor_bits
-    w = fpc // sff
     residual_size = int(np.floor(settings.residual_bits))
     if settings.vbr:
         from .models.vbr import vbr_base
