@@ -50,9 +50,10 @@ def main() -> None:
 
     channels = 2
     n_chunks = 128  # encoded corpus; decode measures on a tiled multiple
-    decode_mult = 128  # 16384 chunks / 168M samples per decode call
+    decode_mult = 192  # 24576 chunks / 252M samples per decode call
     # (the relay adds ~30 ms fixed dispatch+probe cost per call; the batch
-    # size amortizes it -- scaling measured: t = 30 ms + 0.73 ms/Msample)
+    # size amortizes it -- scaling measured: t = 30 ms + 0.73 ms/Msample,
+    # peaking at mult=192 ~1150 Msps; mult=256 regresses under HBM pressure)
     fpc = 5120
     frames = n_chunks * fpc
     settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=fpc)
