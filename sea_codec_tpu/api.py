@@ -38,7 +38,8 @@ def sea_encode(
         from .batch import encode_sea
 
         return encode_sea(samples, sample_rate, channels, settings)
-    assert engine == "session", engine
+    if engine != "session":
+        raise ValueError(f"engine must be 'auto', 'batch', or 'session', got {engine!r}")
     reader = io.BytesIO(samples.astype("<i2").tobytes())
     writer = io.BytesIO()
     enc = SeaEncoder(
@@ -56,7 +57,8 @@ def sea_decode(encoded: bytes, engine: str = "auto") -> SeaDecodeInfo:
         from .batch import decode_sea
 
         return decode_sea(encoded)
-    assert engine == "session", engine
+    if engine != "session":
+        raise ValueError(f"engine must be 'auto', 'batch', or 'session', got {engine!r}")
     from .decoder import SeaDecoder
 
     reader = io.BytesIO(encoded)

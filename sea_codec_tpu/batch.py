@@ -828,7 +828,8 @@ def decode_corpus(
     ``on_error="skip"`` reports undecodable files as ``None`` instead of
     aborting the corpus (batch-pipeline failure containment).
     """
-    assert on_error in ("raise", "skip")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     staged: list[tuple | None] = []
     for encoded in files:
         if on_error == "skip":
