@@ -159,7 +159,7 @@ def _corpus_cbr_blocks_sharded(
     mesh, samples, frames, tail_idx, hist0, wts0, prev0,
     sff, sfb, residual_size, n_files, use_pallas,
 ):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.encode_file import _corpus_cbr_packed_core
 
@@ -183,7 +183,7 @@ def _corpus_cbr_blocks_sharded(
         mesh=mesh,
         in_specs=(spec,) * 6,
         out_specs=(spec,) * 8,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(samples, frames, tail_idx, hist0, wts0, prev0)
 
@@ -196,7 +196,7 @@ def _corpus_vbr_blocks_sharded(
     mesh, samples, frames, hist0, wts0, prev0,
     sff, sfb, base, dist, n_files, use_pallas,
 ):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.encode_file import _corpus_vbr_nv_core
 
@@ -221,7 +221,7 @@ def _corpus_vbr_blocks_sharded(
         mesh=mesh,
         in_specs=(spec,) * 5,
         out_specs=(spec,) * 8,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(samples, frames, hist0, wts0, prev0)
 
