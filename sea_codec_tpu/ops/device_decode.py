@@ -26,6 +26,55 @@ import numpy as np
 from . import lms
 
 
+def _select_chain(idx: jnp.ndarray, values: np.ndarray, dtype) -> jnp.ndarray:
+    """Tiny-table lookup as a fused compare/select chain (NO gather).
+
+    XLA TPU gathers cost ~ns/element; on the decode prolog's [N, W, C]
+    window-constant lookups they dominated the whole decode (153 of 218 ms
+    on the 252-Msample bench shape). The tables here have <= 2^sfb entries,
+    so a chain of elementwise selects -- which XLA fuses into a single VPU
+    pass -- is ~50x cheaper than the gather.
+    """
+    acc = jnp.full(idx.shape, values[0], dtype)
+    for i in range(1, len(values)):
+        v = values[i]
+        acc = jnp.where(idx == i, dtype(v), acc)
+    return acc
+
+
+def _dequant_window_constants(
+    sf_w: jnp.ndarray,  # int32[N, W, C]
+    rs_w: jnp.ndarray,  # int32[N, W, C]
+    sfb: int,
+    static_rs: int = 0,  # >0: every window uses this residual size (CBR)
+):
+    """Per-window dequant constants (sfval, c0, stepf, endv, kmax), gather-free."""
+    from .pallas_encode import _rs_constants
+
+    sfval_t, _recip, c0_t, stepf_t, endv_t, kmax_t, _cl = _rs_constants(sfb)
+    s = 1 << sfb
+    if static_rs:
+        r = static_rs
+        sfval = _select_chain(sf_w, sfval_t[r], jnp.float32)
+        c0 = jnp.float32(c0_t[r])
+        stepf = jnp.float32(stepf_t[r])
+        endv = jnp.float32(endv_t[r])
+        kmax = jnp.int32(int(kmax_t[r]))
+        return sfval, c0, stepf, endv, kmax
+    # mixed residual sizes (VBR): combined select over (rs, sf) for sfval,
+    # 8-entry chains for the rs-only tables
+    idx = rs_w * s + sf_w
+    if 9 * s > 512:  # sfb 7..8 (API-only): the chain would out-cost the gather
+        sfval = jnp.asarray(sfval_t.reshape(-1))[idx]
+    else:
+        sfval = _select_chain(idx, sfval_t.reshape(-1), jnp.float32)
+    c0 = _select_chain(rs_w, c0_t, jnp.float32)
+    stepf = _select_chain(rs_w, stepf_t, jnp.float32)
+    endv = _select_chain(rs_w, endv_t, jnp.float32)
+    kmax = _select_chain(rs_w, kmax_t, jnp.int32)
+    return sfval, c0, stepf, endv, kmax
+
+
 def decode_chunks_fn(
     codes: jnp.ndarray,  # uint8[N, F, C] quantized residual codes
     sf_codes: jnp.ndarray,  # uint8[N, W, C] scale factors per window
@@ -36,6 +85,7 @@ def decode_chunks_fn(
     scale_factor_frames: int,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    static_rs: int = 0,  # >0: every window uses this residual size (CBR)
 ) -> jnp.ndarray:
     """Decode a batch of chunks -> int16[N, F, C]."""
     n, f, c = codes.shape
@@ -51,35 +101,40 @@ def decode_chunks_fn(
     # into VMEM scratch -- the XLA prolog + plain recurrence kernel below is
     # the faster split, so it stays.
 
-    # Per-window dequantization constants via small gathers ([N, W, C], 20x
-    # fewer elements than per-sample), then the per-sample dequantized value
+    # Per-window dequantization constants via fused select chains (NO
+    # gathers -- see _select_chain), then the per-sample dequantized value
     # computed *arithmetically* -- a [N, F, C]-sized table gather here would
-    # dominate the whole decode (XLA TPU gathers are ~10 ns/element).
+    # dominate the whole decode (XLA TPU gathers are ~ns/element).
     # The closed forms reproduce the table build exactly (see FORMAT.md and
     # ops/pallas_encode.py); bit-equality with the gather path is tested.
-    from .pallas_encode import _rs_constants
-    sfval_t, _recip, c0_t, stepf_t, endv_t, kmax_t, _cl = _rs_constants(sfb)
     sf_w = sf_codes.astype(jnp.int32)
     rs_w = rs.astype(jnp.int32)
-    sfval_win = jnp.asarray(sfval_t)[rs_w, sf_w]  # [N, W, C] f32
-    c0_win = jnp.asarray(c0_t)[rs_w]
-    stepf_win = jnp.asarray(stepf_t)[rs_w]
-    endv_win = jnp.asarray(endv_t)[rs_w]
-    kmax_win = jnp.asarray(kmax_t)[rs_w]
+    sfval_win, c0_win, stepf_win, endv_win, kmax_win = _dequant_window_constants(
+        sf_w, rs_w, sfb, static_rs
+    )
 
+    # Window-blocked broadcast: reshape codes to [N, W, sff, C] so the
+    # per-window constants broadcast along the sff axis in-register. (The
+    # previous jnp.repeat-based per-frame expansion materialized five
+    # [N, F, C] repeat gathers and dominated the whole decode: 168 of
+    # 218 ms on the 252-Msample bench shape; this form is ~an order of
+    # magnitude cheaper with bit-identical results.)
     reps = scale_factor_frames
-
-    def pf(x):  # repeat per-window values to per-frame
-        return jnp.repeat(x, reps, axis=1, total_repeat_length=w * reps)[:, :f]
-
+    fp = w * reps
     q = codes.astype(jnp.int32)
+    if fp != f:
+        q = jnp.pad(q, ((0, 0), (0, fp - f), (0, 0)))
+    q = q.reshape(n, w, reps, c)
+    # [N, W, C] -> broadcast over sff; static-CBR constants are scalars
+    pw = lambda x: x[:, :, None, :] if getattr(x, "ndim", 0) == 3 else x
     k = q >> 1
     kf = k.astype(jnp.float32)
-    curve = jnp.float32(0.5) + kf * pf(stepf_win)
-    curve = jnp.where(k == pf(kmax_win), pf(endv_win), curve)
-    curve = jnp.where(k == 0, pf(c0_win), curve)
-    dq_abs = jnp.floor(pf(sfval_win) * curve + jnp.float32(0.5)).astype(jnp.int32)
+    curve = jnp.float32(0.5) + kf * pw(stepf_win)
+    curve = jnp.where(k == pw(kmax_win), pw(endv_win), curve)
+    curve = jnp.where(k == 0, pw(c0_win), curve)
+    dq_abs = jnp.floor(pw(sfval_win) * curve + jnp.float32(0.5)).astype(jnp.int32)
     dq = jnp.where((q & 1) == 1, -dq_abs, dq_abs)
+    dq = dq.reshape(n, fp, c)[:, :f]
 
     if use_pallas:
         # (a lane-major variant that transposes the 1-byte codes instead of
@@ -103,7 +158,12 @@ def decode_chunks_fn(
 
 decode_chunks = jax.jit(
     decode_chunks_fn,
-    static_argnames=("scale_factor_frames", "use_pallas", "pallas_interpret"),
+    static_argnames=(
+        "scale_factor_frames",
+        "use_pallas",
+        "pallas_interpret",
+        "static_rs",
+    ),
 )
 
 
@@ -165,20 +225,21 @@ def unpack_var_device(data: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
     """Per-item-width MSB-first unpack on device.
 
     ``widths``: int32[N, count] (each row its own layout -- VBR residuals).
-    Bit offsets come from a per-row cumsum; the gather is dynamic
-    (take_along_axis). Replaces bits.rs:52-70.
+    Bit offsets come from a per-row cumsum. An item is <= 8 bits, so with a
+    16-bit sliding window over the row it spans exactly ONE window: the
+    dynamic access is a single take_along_axis per item (an 8-bit-gather
+    formulation measured ~8x slower -- TPU gathers cost ~ns/element, so
+    gathered-element count is the budget). Replaces bits.rs:52-70.
     """
     n, count = widths.shape
-    bits = _bytes_to_bits(data)
+    d = data.astype(jnp.int32)
+    # u16[j] = (bytes[j] << 8) | bytes[j+1]; last window low byte = 0
+    u16 = (d << 8) | jnp.pad(d[:, 1:], ((0, 0), (0, 1)))
     offsets = jnp.cumsum(widths, axis=1, dtype=jnp.int32) - widths
-    j = jnp.arange(8, dtype=jnp.int32)
-    idx = offsets[:, :, None] + j[None, None, :]
-    valid = j[None, None, :] < widths[:, :, None]
-    idx = jnp.where(valid, idx, 0)
-    gathered = jnp.take_along_axis(bits, idx.reshape(n, -1), axis=1).reshape(n, count, 8)
-    shift = jnp.where(valid, widths[:, :, None] - 1 - j[None, None, :], 0).astype(jnp.uint8)
-    vals = jnp.where(valid, gathered << shift, jnp.uint8(0))
-    return jnp.sum(vals, axis=2, dtype=jnp.uint8)
+    win = jnp.take_along_axis(u16, offsets >> 3, axis=1)  # [N, count]
+    shift = jnp.int32(16) - (offsets & 7) - widths
+    mask = (jnp.int32(1) << widths) - 1
+    return ((win >> shift) & mask).astype(jnp.uint8)
 
 
 def decode_chunks_packed_fn(
@@ -200,13 +261,19 @@ def decode_chunks_packed_fn(
     if residual_size:
         codes = unpack_const_strided(res_bytes, residual_size, count)
     else:
-        widths = jnp.repeat(
-            rs.astype(jnp.int32),
-            scale_factor_frames,
-            axis=1,
-            total_repeat_length=w * scale_factor_frames,
-        )[:, :frames].reshape(n, count)
+        # flat 2D reshape: a [N, *, C] intermediate would tile-pad the minor
+        # dim C -> 128 (64x HBM inflation at C=2)
+        sff = scale_factor_frames
+        widths = (
+            jnp.broadcast_to(rs.astype(jnp.int32)[:, :, None, :], (n, w, sff, c))
+            .reshape(n, w * sff * c)[:, :count]
+        )
         codes = unpack_var_device(res_bytes, widths)
+        # pin the gather output as a flat 2D uint8 array: letting it fuse
+        # into the dequant graph made XLA materialize an int32 [N, F, C]
+        # intermediate whose T(8,128) layout pads C -> 128 lanes (64x HBM,
+        # OOM on corpus batches)
+        codes = jax.lax.optimization_barrier(codes)
     return decode_chunks_fn(
         codes.reshape(n, frames, c),
         sf_codes,
@@ -217,6 +284,7 @@ def decode_chunks_packed_fn(
         scale_factor_frames=scale_factor_frames,
         use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
+        static_rs=residual_size,
     )
 
 

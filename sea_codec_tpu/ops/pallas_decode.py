@@ -36,7 +36,7 @@ SUBLANES = 32
 LANE_BLOCK = SUBLANES * 128
 
 
-def _decode_kernel(lms_ref, dq_ref, out_ref, h_scratch, w_scratch):
+def _decode_kernel(lms_ref, dq_ref, out_ref, h_scratch, w_scratch, unroll=1):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -76,26 +76,32 @@ def _decode_kernel(lms_ref, dq_ref, out_ref, h_scratch, w_scratch):
         w_scratch[3],
     )
     # int32 bounds: with jax_enable_x64 a plain Python int would make the
-    # loop index i64, which Mosaic cannot legalize.
-    carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(tb), body, carry0)
+    # loop index i64, which Mosaic cannot legalize. unroll needs static
+    # Python bounds; measured no win (the kernel is prolog-bound), kept for
+    # tuning experiments.
+    if unroll > 1:
+        carry = jax.lax.fori_loop(0, tb, body, carry0, unroll=unroll)
+    else:
+        carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(tb), body, carry0)
     for i in range(4):
         h_scratch[i] = carry[i]
         w_scratch[i] = carry[4 + i]
 
 
-@partial(jax.jit, static_argnames=("time_block", "sublanes"))
+@partial(jax.jit, static_argnames=("time_block", "sublanes", "unroll"))
 def lms_decode_lanes(
     dq: jnp.ndarray,  # int32[T, R, 128], T % time_block == 0, R % sublanes == 0
     lms: jnp.ndarray,  # int32[8, R, 128]: planes h0..h3, w0..w3
     time_block: int = 512,
     sublanes: int = SUBLANES,
+    unroll: int = 1,
 ) -> jnp.ndarray:  # int32[T, R, 128] reconstructed samples
     t, r, _ = dq.shape
     s = sublanes
     assert t % time_block == 0 and r % s == 0
     grid = (r // s, t // time_block)
     return pl.pallas_call(
-        _decode_kernel,
+        partial(_decode_kernel, unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((t, r, 128), jnp.int32),
         grid=grid,
         in_specs=[
