@@ -97,6 +97,67 @@ def main():
     t4 = timeit(lambda: np.asarray(v4_gather_only(data, widths)[0, 0]))
     print(f"V4 window-word gather:{t4*1e3:8.1f} ms  ({w_count*12*n/1e6:.0f}M elems)", file=sys.stderr, flush=True)
 
+    # V5: ONE lax.gather with contiguous slices: one index per window, span
+    # int32 words per slice (per-index cost amortized over the slice).
+    span = 12
+    bw = b // 4
+
+    @jax.jit
+    def v5_gather_only(data, widths):
+        d = data.astype(jnp.int32)
+        pad = jnp.pad(d[:, 1:], ((0, 0), (0, 1)))
+        d32 = d * 0x1000000 + pad  # stand-in word build (cost-equivalent)
+        d32 = d32[:, :bw]
+        flat = d32.reshape(-1)
+        offsets = jnp.cumsum(widths, axis=1, dtype=jnp.int32) - widths
+        wstart = offsets[:, ::40]
+        word0 = jnp.minimum(wstart >> 5, bw - span)
+        g = word0 + (jnp.arange(n, dtype=jnp.int32) * bw)[:, None]
+        out = jax.lax.gather(
+            flat,
+            g.reshape(-1, 1),
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,),
+                collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=(span,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+        return out  # [n*w_count, span]
+
+    t5 = timeit(lambda: np.asarray(v5_gather_only(data, widths)[0, 0]))
+    print(f"V5 slice gather:      {t5*1e3:8.1f} ms  ({w_count*n/1e6:.1f}M slices x {span})", file=sys.stderr, flush=True)
+
+    # V5b: wider slices, fewer indices (4-window groups)
+    span4 = 44
+
+    @jax.jit
+    def v5b_gather_only(data, widths):
+        d = data.astype(jnp.int32)
+        pad = jnp.pad(d[:, 1:], ((0, 0), (0, 1)))
+        d32 = (d * 0x1000000 + pad)[:, :bw]
+        flat = d32.reshape(-1)
+        offsets = jnp.cumsum(widths, axis=1, dtype=jnp.int32) - widths
+        wstart = offsets[:, ::160]
+        word0 = jnp.minimum(wstart >> 5, bw - span4)
+        g = word0 + (jnp.arange(n, dtype=jnp.int32) * bw)[:, None]
+        out = jax.lax.gather(
+            flat,
+            g.reshape(-1, 1),
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,),
+                collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=(span4,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+        return out
+
+    t5b = timeit(lambda: np.asarray(v5b_gather_only(data, widths)[0, 0]))
+    print(f"V5b 4-win slices:     {t5b*1e3:8.1f} ms  ({w_count*n/4e6:.1f}M slices x {span4})", file=sys.stderr, flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -41,3 +41,44 @@ def test_unpack_const_strided_matches_reference(width):
     a = np.asarray(unpack_const_strided(jnp.asarray(data), width, count))
     b = np.asarray(unpack_const_device(jnp.asarray(data), width, count))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_unpack_var_device_matches_scalar(seed):
+    """Device variable-width unpack vs the host scalar model, including the
+    width-8 / phase-7 funnel edge and values ending at the row boundary."""
+    from sea_codec_tpu.ops.bitpack import unpack_bits
+    from sea_codec_tpu.ops.device_decode import unpack_var_device
+
+    rng = np.random.default_rng(seed)
+    n, count = 5, 701
+    widths = rng.integers(1, 9, size=(n, count)).astype(np.int32)
+    rows = []
+    nbytes = int((widths.sum(axis=1).max() + 7) // 8)
+    for i in range(n):
+        # exact-length rows so the last value ends at (or near) the row end
+        bits = int(widths[i].sum())
+        row = rng.integers(0, 256, size=(bits + 7) // 8).astype(np.uint8)
+        rows.append(np.pad(row, (0, nbytes - row.shape[0])))
+    data = np.stack(rows)
+    got = np.asarray(unpack_var_device(jnp.asarray(data), jnp.asarray(widths)))
+    for i in range(n):
+        want = unpack_bits(data[i], widths[i])
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_select_chain_matches_gather():
+    from sea_codec_tpu.ops.device_decode import _select_chain
+
+    rng = np.random.default_rng(0)
+    table_f = rng.uniform(-5, 5, size=37).astype(np.float32)
+    table_i = rng.integers(-100, 100, size=37).astype(np.int32)
+    idx = jnp.asarray(rng.integers(0, 37, size=(4, 9, 3)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(_select_chain(idx, table_f, jnp.float32)),
+        table_f[np.asarray(idx)],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(_select_chain(idx, table_i, jnp.int32)),
+        table_i[np.asarray(idx)],
+    )
