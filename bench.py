@@ -274,6 +274,8 @@ def main() -> None:
 
     t_8_ms = stage("8ch_roundtrip", 60, x_8ch)
 
+    vbr_bytes_cell: list = []
+
     def x_vbr():
         stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
         vbr_files = [samples[: 8 * fpc * channels]] * 64
@@ -283,11 +285,51 @@ def main() -> None:
         vbr_out = encode_corpus(vbr_files, TEST_SAMPLE_RATE, channels, stv)
         t = time.perf_counter() - t0
         assert vbr_out[0] == vbr_out[63]
+        vbr_bytes_cell.append(vbr_out[0])
         msps = n_vbr / t / 1e6
         log(f"VBR corpus encode (64 stereo files): {t:.2f}s = {msps:.1f} Msamples/s")
         return msps
 
     vbr_msps = stage("vbr_corpus", 90, x_vbr)
+
+    def x_vbr_decode():
+        # device VBR decode on the same tiled-batch methodology as the
+        # headline (windowed group-gather unpack; see ops/device_decode.py)
+        enc_v = vbr_bytes_cell[0]  # 8 chunks x 5120 frames x 2ch
+        hdr_v, rect_v, _ = split_chunks(enc_v)
+        bv = parse_full_chunks(rect_v, hdr_v)
+        dqt_v = jnp.asarray(tables.dqt_stacked(bv.scale_factor_bits).reshape(-1), jnp.int32)
+        mult_v = 2048  # 16384 chunks / 168M samples per call
+        args_v = tuple(
+            jnp.asarray(np.tile(a, (mult_v,) + (1,) * (a.ndim - 1)))
+            for a in (bv.res_bytes, bv.sf, bv.rs, bv.hist, bv.wts)
+        )
+        n_v = bv.res_bytes.shape[0] * mult_v * fpc * channels
+
+        def dev_decode_v():
+            from sea_codec_tpu.batch import _max_code_bits
+
+            return decode_chunks_packed(
+                *args_v,
+                dqt_v,
+                scale_factor_frames=bv.scale_factor_frames,
+                frames=fpc,
+                residual_size=bv.residual_size,
+                use_pallas=use_pallas,
+                max_code_bits=_max_code_bits(bv.rs, bv.residual_size),
+            )
+
+        _ = np.asarray(dev_decode_v()[0, 0, 0])
+        ts_v = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            _ = np.asarray(dev_decode_v()[0, 0, 0])
+            ts_v.append(time.perf_counter() - t0)
+        msps = n_v / min(ts_v) / 1e6
+        log(f"VBR decode device: {min(ts_v)*1e3:.1f} ms = {msps:.1f} Msamples/s")
+        return msps
+
+    vbr_dec_msps = stage("vbr_decode_device", 90, x_vbr_decode)
 
     def x_e2e_decode():
         reps = 3
@@ -319,6 +361,7 @@ def main() -> None:
                 "mono_roundtrip_ms": rnd(t_mono_ms, 1),
                 "multichannel8_roundtrip_ms": rnd(t_8_ms, 1),
                 "vbr_corpus_encode_Msps": rnd(vbr_msps),
+                "vbr_decode_device_Msps": rnd(vbr_dec_msps),
                 "compression_ratio": round(ratio, 2),
                 "psnr_db": round(psnr, 1),
                 "n_samples": n_samples, "n_decode_samples": n_dec_samples,

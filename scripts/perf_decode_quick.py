@@ -56,6 +56,8 @@ def main():
         n_samples = frames * channels * mult
 
         def dev_decode():
+            from sea_codec_tpu.batch import _max_code_bits
+
             return decode_chunks_packed(
                 *args,
                 dqt_flat,
@@ -63,6 +65,7 @@ def main():
                 frames=fpc,
                 residual_size=batch.residual_size,
                 use_pallas=use_pallas,
+                max_code_bits=_max_code_bits(batch.rs, batch.residual_size),
             )
 
         out = dev_decode()

@@ -158,6 +158,23 @@ def main():
     t5b = timeit(lambda: np.asarray(v5b_gather_only(data, widths)[0, 0]))
     print(f"V5b 4-win slices:     {t5b*1e3:8.1f} ms  ({w_count*n/4e6:.1f}M slices x {span4})", file=sys.stderr, flush=True)
 
+    # V6: V4's window-word gather but along the MAJOR axis (rows on lanes)
+    @jax.jit
+    def v6_gather_only(data, widths):
+        d32 = data.astype(jnp.int32)[:, : (b // 4)].T  # [BW, N]
+        offsets = jnp.cumsum(widths, axis=1, dtype=jnp.int32) - widths
+        wstart = offsets[:, ::40]  # [n, w_count]
+        base = wstart >> 5
+        j = jnp.arange(12, dtype=jnp.int32)
+        gidx = base[:, :, None] + j[None, None, :]
+        gidx = jnp.minimum(gidx, b // 4 - 1)  # [n, w_count, 12]
+        gt = gidx.reshape(n, -1).T  # [w_count*12, N]
+        words = jnp.take_along_axis(d32, gt, axis=0)
+        return words
+
+    t6 = timeit(lambda: np.asarray(v6_gather_only(data, widths)[0, 0]))
+    print(f"V6 major-axis gather: {t6*1e3:8.1f} ms  ({w_count*12*n/1e6:.0f}M elems)", file=sys.stderr, flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -173,6 +173,7 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
                     frames=fpc,
                     residual_size=batch.residual_size,
                     use_pallas=default_use_pallas(),
+                    max_code_bits=_max_code_bits(batch.rs, batch.residual_size),
                 )
             )
         for k, out in enumerate(outs):
@@ -203,6 +204,18 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
     return SeaDecodeInfo(
         samples=samples, sample_rate=header.sample_rate, channels=header.channels
     )
+
+
+def _max_code_bits(rs: np.ndarray, residual_size: int) -> int:
+    """Static VBR span bound = the batch's largest residual size.
+
+    Rounded up to even so the jit cache sees at most 4 variants; unused
+    (fixed 8) for CBR so the constant-width path never forks compiles.
+    """
+    if residual_size or rs.size == 0:
+        return 8
+    m = int(rs.max())
+    return min(8, m + (m & 1))
 
 
 def _check_chunk_size(n: int) -> None:
@@ -793,6 +806,7 @@ def decode_range(encoded: bytes, start_frame: int, n_frames: int) -> np.ndarray:
             frames=fpc,
             residual_size=batch.residual_size,
             use_pallas=default_use_pallas(),
+            max_code_bits=_max_code_bits(batch.rs, batch.residual_size),
         )
         parts.append(np.asarray(pcm).reshape(-1, c))
     if k1 > n_rect and tail:
@@ -914,6 +928,7 @@ def decode_corpus(
                 frames=fpc,
                 residual_size=residual_size,
                 use_pallas=use_pallas,
+                max_code_bits=_max_code_bits(rs, residual_size),
             )
             outs.append(out[:n_real] if pad else out)
         if len(outs) > 1:

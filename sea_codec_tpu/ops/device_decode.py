@@ -242,6 +242,198 @@ def unpack_var_device(data: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
     return ((win >> shift) & mask).astype(jnp.uint8)
 
 
+def _group_frames(scale_factor_frames: int, channels: int) -> int:
+    """Frames per gather group: largest divisor of sff with <= ~40 codes.
+
+    Keeps the gathered span per group at <= 12 int32 words (the V4 sweet
+    spot from scripts/perf_vbr_gather.py) while group boundaries stay
+    aligned to window-internal frame offsets (g | sff => no layout holes).
+    """
+    g = 1
+    for d in range(1, scale_factor_frames + 1):
+        if scale_factor_frames % d == 0 and d * channels <= 40:
+            g = d
+    return g
+
+
+def _fetch_span_words_matmul(
+    data: jnp.ndarray,  # uint8[N, 4*bwp] padded byte rows
+    word0: jnp.ndarray,  # int32[N, WG] first word index per group
+    bw: int,  # words of real payload per row
+    span: int,
+) -> jnp.ndarray:  # uint32[N, span, WG]
+    """Span-word fetch as a one-hot bf16 matmul on the MXU.
+
+    XLA TPU dynamic gathers cost ~13 ns/element no matter how they are
+    phrased (scripts/perf_vbr_gather.py), which made the word fetch ~96% of
+    the whole VBR decode. The MXU does the same selection at matmul speed:
+    out[n, wg, (p, b)] = sum_j onehot(j == word0[n, wg]) * plane_b[n, j+p].
+    Exactness: byte values 0..255 and 0/1 mask entries are exact in
+    bfloat16, and each dot-product row has exactly one nonzero term, so the
+    f32 accumulation is the exact integer -- no rounding anywhere.
+    """
+    n, wg = word0.shape
+    span4 = span * 4
+    # shifted byte planes: S[n, j, (p, b)] = byte[n, 4*(j+p) + b]
+    planes = [data[:, b::4] for b in range(4)]  # each [N, bwp]
+    cols = []
+    for p in range(span):
+        for b in range(4):
+            cols.append(planes[b][:, p : p + bw])
+    s_mat = jnp.stack(cols, axis=2).astype(jnp.bfloat16)  # [N, bw, span*4]
+    # block over rows: the [blk, WG, bw] one-hot is the only large buffer
+    blk = min(n, 2048)
+    n_pad = -(-n // blk) * blk
+    if n_pad != n:
+        word0 = jnp.pad(word0, ((0, n_pad - n), (0, 0)))
+        s_mat = jnp.pad(s_mat, ((0, n_pad - n), (0, 0), (0, 0)))
+    iota_w = jnp.arange(bw, dtype=jnp.int32)
+
+    def body(args):
+        w0_b, s_b = args
+        onehot = (w0_b[:, :, None] == iota_w[None, None, :]).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            onehot,
+            s_b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [blk, WG, span*4]
+        return out.astype(jnp.int32)
+
+    out = jax.lax.map(
+        body,
+        (word0.reshape(-1, blk, wg), s_mat.reshape(-1, blk, bw, span4)),
+    ).reshape(n_pad, wg, span, 4)[:n]
+    words = (
+        (out[..., 0].astype(jnp.uint32) << 24)
+        | (out[..., 1].astype(jnp.uint32) << 16)
+        | (out[..., 2].astype(jnp.uint32) << 8)
+        | out[..., 3].astype(jnp.uint32)
+    )  # [N, WG, span]
+    return jnp.moveaxis(words, 1, 2)  # [N, span, WG]
+
+
+def unpack_var_windowed(
+    data: jnp.ndarray,  # uint8[N, B] packed residual section
+    rs: jnp.ndarray,  # int32[N, W, C] per-window residual sizes (1..8)
+    scale_factor_frames: int,
+    frames: int,
+    max_code_bits: int = 8,
+    matmul_fetch: bool = False,
+) -> jnp.ndarray:
+    """VBR unpack with per-GROUP (not per-code) dynamic addressing.
+
+    ``unpack_var_device`` pays one dynamic gather element per code; XLA TPU
+    gathers cost ~13 ns/element regardless of layout (measured: minor-axis,
+    major-axis, flat and lax.gather-slice formulations all land within 2%,
+    scripts/perf_vbr_gather.py), so at count = frames x C elements the
+    gather IS the decode time. Within one scale-factor window, widths are
+    constant per channel (chunk.rs:245-252 layout: frame-major,
+    channel-minor), so code bit offsets are AFFINE in (frame, channel):
+
+        bit(w, t, c) = win_start[w] + t * wsum[w] + prefix[w, c]
+
+    Only win_start is truly dynamic. We gather a fixed span of int32 words
+    once per g-frame GROUP (g*C codes), then extract every code with pure
+    VPU arithmetic: a span-deep compare/select chain picks each code's word
+    pair in registers. Net: ~g*C/span ~ 3.3x fewer gathered elements, and
+    the select chains fuse into one elementwise pass.
+    """
+    n, w, c = rs.shape
+    b = data.shape[1]
+    f = frames
+    sff = scale_factor_frames
+    g = _group_frames(sff, c)
+    n_groups = sff // g
+    wg = w * n_groups
+    gc = g * c
+    # span: 31 bits of phase + worst-case group payload, +1 word for the
+    # (wj, wj+1) pair at the last in-span offset. max_code_bits lets the
+    # caller shrink the worst case to the batch's actual largest residual
+    # size (host-known from the parsed chunk headers) -- at VBR target 2.5
+    # that is 4 bits, span 7 instead of 12.
+    span = (31 + gc * max_code_bits + 31) // 32 + 1
+
+    # Layout rule (hard-won: the first cut used [N, W, G, g, C] temps whose
+    # degenerate minor dims tile-padded 128x and OOM'd at 12k chunks): every
+    # slot-sized array lives as [N, gC, WG] with the LARGE window-group axis
+    # minor, so chain temps are unpadded and the whole extraction fuses.
+
+    # big-endian int32 words over the (padded) byte rows
+    bw = -(-b // 4) + span
+    pad = bw * 4 - b
+    d = jnp.pad(data, ((0, 0), (0, pad))).astype(jnp.uint32)
+    words_row = (
+        (d[:, 0::4] << 24) | (d[:, 1::4] << 16) | (d[:, 2::4] << 8) | d[:, 3::4]
+    )  # uint32[N, bw]
+
+    rs32 = rs.astype(jnp.int32)
+    wsum = jnp.sum(rs32, axis=2)  # [N, W] bits per frame in window
+    prefix = jnp.cumsum(rs32, axis=2) - rs32  # [N, W, C]
+    # frames actually present per window (only the last can be partial)
+    fiw = np.clip(f - np.arange(w) * sff, 0, sff).astype(np.int32)  # [W]
+    win_bits = jnp.asarray(fiw)[None, :] * wsum
+    win_start = jnp.cumsum(win_bits, axis=1) - win_bits  # [N, W]
+
+    # group start bits + word-aligned gather bases, flat [N, WG]
+    grp = jnp.arange(n_groups, dtype=jnp.int32) * g  # [G] frame offsets
+    gstart = (win_start[:, :, None] + grp[None, None, :] * wsum[:, :, None]).reshape(
+        n, wg
+    )
+    word0 = jnp.minimum(gstart >> 5, bw - span)  # [N, WG]
+    phase = gstart - (word0 << 5)  # < 32 except clamped tail garbage
+
+    if matmul_fetch:
+        words = _fetch_span_words_matmul(
+            jnp.pad(data, ((0, 0), (0, (bw + span) * 4 - b))), word0, bw, span
+        )
+    else:
+        # gather directly into [N, span, WG] (no transpose afterwards)
+        j = jnp.arange(span, dtype=jnp.int32)
+        gidx = (word0[:, None, :] + j[None, :, None]).reshape(n, span * wg)
+        words = jnp.take_along_axis(words_row, gidx, axis=1).reshape(n, span, wg)
+
+    # per-window scalars expanded to [N, WG] (tiny, materialize freely)
+    expand_wg = lambda a: jnp.broadcast_to(a[:, :, None], (n, w, n_groups)).reshape(
+        n, wg
+    )
+    wsum_wg = expand_wg(wsum)
+
+    # per-slot offsets/widths via per-channel select chains over the gC axis
+    # (index = t*C + c) -- elementwise, fuses; no slot-sized broadcast-reshape
+    tvec = (jnp.arange(gc, dtype=jnp.int32) // c)[None, :, None]  # frame-in-group
+    cvec = (jnp.arange(gc, dtype=jnp.int32) % c)[None, :, None]
+    pre_slot = jnp.broadcast_to(expand_wg(prefix[:, :, 0])[:, None, :], (n, gc, wg))
+    wid_slot = jnp.broadcast_to(expand_wg(rs32[:, :, 0])[:, None, :], (n, gc, wg))
+    for ci in range(1, c):
+        sel = cvec == ci
+        pre_slot = jnp.where(sel, expand_wg(prefix[:, :, ci])[:, None, :], pre_slot)
+        wid_slot = jnp.where(sel, expand_wg(rs32[:, :, ci])[:, None, :], wid_slot)
+
+    local = phase[:, None, :] + tvec * wsum_wg[:, None, :] + pre_slot  # [N, gC, WG]
+    wj_idx = jnp.minimum(local >> 5, span - 2)
+    s = jnp.minimum(local - (wj_idx << 5), 31).astype(jnp.uint32)
+
+    # register-resident word-pair pick as masked-sum REDUCTIONS over the
+    # span axis (NO gather). A chain of wheres expresses the same pick, but
+    # XLA materializes every chain step as a slot-sized HBM temp (~12 x
+    # 960 MB at 24k chunks -> OOM); a reduce fuses its masked producer into
+    # one pass and only the two outputs exist.
+    iota = jnp.arange(span - 1, dtype=jnp.int32)[None, :, None, None]
+    m = wj_idx[:, None, :, :] == iota  # [N, span-1, gC, WG], fused
+    wj = jnp.sum(jnp.where(m, words[:, :-1, None, :], 0), axis=1)
+    wj1 = jnp.sum(jnp.where(m, words[:, 1:, None, :], 0), axis=1)
+
+    u = (wj << s) | ((wj1 >> jnp.uint32(1)) >> (jnp.uint32(31) - s))
+    wu = wid_slot.astype(jnp.uint32)
+    code = ((u >> (jnp.uint32(32) - wu)) & ((jnp.uint32(1) << wu) - 1)).astype(
+        jnp.uint8
+    )
+    # [N, gC, WG] -> slot order ((w*G+grp)*g + t)*C + c
+    code = jnp.moveaxis(code, 1, 2).reshape(n, wg * gc)
+    return code[:, : f * c]
+
+
 def decode_chunks_packed_fn(
     res_bytes: jnp.ndarray,  # uint8[N, B] packed residual section
     sf_codes: jnp.ndarray,  # uint8[N, W, C]
@@ -254,6 +446,7 @@ def decode_chunks_packed_fn(
     residual_size: int,  # static: >0 = CBR constant width; 0 = VBR (widths from rs)
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    max_code_bits: int = 8,  # static: largest VBR residual size in the batch
 ) -> jnp.ndarray:
     """Full device decode from packed residual bytes -> int16[N, frames, C]."""
     n, w, c = sf_codes.shape
@@ -261,14 +454,17 @@ def decode_chunks_packed_fn(
     if residual_size:
         codes = unpack_const_strided(res_bytes, residual_size, count)
     else:
-        # flat 2D reshape: a [N, *, C] intermediate would tile-pad the minor
-        # dim C -> 128 (64x HBM inflation at C=2)
-        sff = scale_factor_frames
-        widths = (
-            jnp.broadcast_to(rs.astype(jnp.int32)[:, :, None, :], (n, w, sff, c))
-            .reshape(n, w * sff * c)[:, :count]
+        # windowed unpack: one fetched span per g-frame group instead of
+        # one gather element per code; on TPU the span fetch itself runs as
+        # a one-hot matmul on the MXU (dynamic gathers are ~13 ns/element)
+        codes = unpack_var_windowed(
+            res_bytes,
+            rs.astype(jnp.int32),
+            scale_factor_frames,
+            frames,
+            max_code_bits=max_code_bits,
+            matmul_fetch=use_pallas,
         )
-        codes = unpack_var_device(res_bytes, widths)
         # pin the gather output as a flat 2D uint8 array: letting it fuse
         # into the dequant graph made XLA materialize an int32 [N, F, C]
         # intermediate whose T(8,128) layout pads C -> 128 lanes (64x HBM,
@@ -296,6 +492,7 @@ decode_chunks_packed = jax.jit(
         "residual_size",
         "use_pallas",
         "pallas_interpret",
+        "max_code_bits",
     ),
 )
 

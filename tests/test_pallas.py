@@ -67,6 +67,67 @@ def test_unpack_var_device_matches_scalar(seed):
         np.testing.assert_array_equal(got[i], want)
 
 
+@pytest.mark.parametrize(
+    "channels,sff,frames",
+    [
+        (1, 20, 400),
+        (2, 20, 5120),
+        (2, 20, 407),  # ragged final window
+        (3, 10, 95),
+        (8, 5, 40),
+        (2, 7, 50),  # sff with no divisor hitting the 40-code target
+        (128, 20, 40),  # g = 1 regime (wide-channel corpus lanes)
+    ],
+)
+def test_unpack_var_windowed_matches_scalar(channels, sff, frames):
+    """Group-gather VBR unpack vs the host scalar model (bit-exact)."""
+    from sea_codec_tpu.ops.bitpack import unpack_bits
+    from sea_codec_tpu.ops.device_decode import unpack_var_windowed
+
+    rng = np.random.default_rng(channels * 1000 + sff)
+    n = 4
+    w = -(-frames // sff)
+    rs = rng.integers(1, 9, size=(n, w, channels)).astype(np.int32)
+    # expand to per-code widths exactly as the chunk layout does
+    # (frame-major, channel-minor; last window may be partial)
+    count = frames * channels
+    widths = np.broadcast_to(rs[:, :, None, :], (n, w, sff, channels)).reshape(
+        n, w * sff * channels
+    )[:, :count]
+    nbytes = int((widths.sum(axis=1).max() + 7) // 8)
+    rows = []
+    for i in range(n):
+        bits = int(widths[i].sum())
+        row = rng.integers(0, 256, size=(bits + 7) // 8).astype(np.uint8)
+        rows.append(np.pad(row, (0, nbytes - row.shape[0])))
+    data = np.stack(rows)
+    want = np.stack([unpack_bits(data[i], widths[i]) for i in range(n)])
+    for matmul_fetch in (False, True):
+        got = np.asarray(
+            unpack_var_windowed(
+                jnp.asarray(data),
+                jnp.asarray(rs),
+                sff,
+                frames,
+                matmul_fetch=matmul_fetch,
+            )
+        )
+        assert got.shape == (n, count)
+        np.testing.assert_array_equal(got, want)
+    # tight static span bound (the host passes the batch's real max width)
+    got = np.asarray(
+        unpack_var_windowed(
+            jnp.asarray(data),
+            jnp.asarray(rs),
+            sff,
+            frames,
+            max_code_bits=int(rs.max()),
+            matmul_fetch=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_select_chain_matches_gather():
     from sea_codec_tpu.ops.device_decode import _select_chain
 
