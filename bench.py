@@ -299,7 +299,8 @@ def main() -> None:
         hdr_v, rect_v, _ = split_chunks(enc_v)
         bv = parse_full_chunks(rect_v, hdr_v)
         dqt_v = jnp.asarray(tables.dqt_stacked(bv.scale_factor_bits).reshape(-1), jnp.int32)
-        mult_v = 2048  # 16384 chunks / 168M samples per call
+        mult_v = 3072  # 24576 chunks / 252M samples per call (sweet spot:
+        # 1527/1854/1844 Msps at 12k/24k/49k chunks, scripts/perf_decode_quick)
         args_v = tuple(
             jnp.asarray(np.tile(a, (mult_v,) + (1,) * (a.ndim - 1)))
             for a in (bv.res_bytes, bv.sf, bv.rs, bv.hist, bv.wts)
