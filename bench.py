@@ -121,8 +121,14 @@ def main() -> None:
     dqt_flat = jnp.asarray(
         tables.dqt_stacked(batch.scale_factor_bits).reshape(-1), jnp.int32
     )
+    # tile ON DEVICE: uploading the host-tiled batch is ~200 MB over a
+    # tunnel whose throughput varies 10x run to run; the base batch is <1 MB
     args = tuple(
-        jnp.asarray(np.tile(a, (decode_mult,) + (1,) * (a.ndim - 1)))
+        jax.block_until_ready(
+            jax.jit(lambda x: jnp.tile(x, (decode_mult,) + (1,) * (x.ndim - 1)))(
+                jnp.asarray(a)
+            )
+        )
         for a in (batch.res_bytes, batch.sf, batch.rs, batch.hist, batch.wts)
     )
     n_dec_samples = n_samples * decode_mult
@@ -177,15 +183,17 @@ def main() -> None:
         nb, nfb, ncb = 4, 64, 16
         bb = nfb * channels
         one_file = samples[: ncb * fpc * channels].reshape(ncb, fpc, channels)
-        xdev = np.broadcast_to(
-            np.tile(one_file, (1, 1, nfb))[None], (nb, ncb, fpc, bb)
-        ).copy()
         frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
         tail_idx = np.full((nb, nfb), ncb, np.int32)
         h0 = np.broadcast_to(np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
         w0 = np.broadcast_to(np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
         p0 = np.zeros((nb, bb), np.int32)
-        xdev_d = jax.device_put(xdev)
+        # tile the ~80 MB lane block on device from the ~300 KB base file
+        xdev_d = jax.block_until_ready(
+            jax.jit(lambda x: jnp.tile(x[None], (nb, 1, 1, nfb)))(
+                jnp.asarray(one_file)
+            )
+        )
 
         def dev_encode():
             return encode_corpus_cbr_packed_blocks(
@@ -302,7 +310,11 @@ def main() -> None:
         mult_v = 3072  # 24576 chunks / 252M samples per call (sweet spot:
         # 1527/1854/1844 Msps at 12k/24k/49k chunks, scripts/perf_decode_quick)
         args_v = tuple(
-            jnp.asarray(np.tile(a, (mult_v,) + (1,) * (a.ndim - 1)))
+            jax.block_until_ready(
+                jax.jit(lambda x: jnp.tile(x, (mult_v,) + (1,) * (x.ndim - 1)))(
+                    jnp.asarray(a)
+                )
+            )
             for a in (bv.res_bytes, bv.sf, bv.rs, bv.hist, bv.wts)
         )
         n_v = bv.res_bytes.shape[0] * mult_v * fpc * channels
@@ -344,6 +356,65 @@ def main() -> None:
 
     e2e_msps = stage("e2e_decode", 45, x_e2e_decode)
 
+    def x_device_encode_vbr():
+        # device-resident VBR corpus encode (the e2e number is relay-bound;
+        # this measures the fused two-pass search + ranking program itself)
+        from sea_codec_tpu.models.vbr import (
+            interpolate_distribution,
+            normalized_vbr_bitrate,
+            vbr_base,
+        )
+        from sea_codec_tpu.ops import lms as lms_ops
+        from sea_codec_tpu.ops.encode_file import encode_corpus_vbr_nv_blocks
+
+        nb, nfb, ncb = 4, 64, 16
+        bb = nfb * channels
+        sff, sfb = settings.scale_factor_frames, settings.scale_factor_bits
+        target = normalized_vbr_bitrate(np.float32(2.5), fpc, sfb, sff)
+        base = vbr_base(target)
+        sortable = (fpc * channels) // sff
+        m1, _t, p1, p2 = interpolate_distribution(sortable, target)
+        one_file = samples[: ncb * fpc * channels].reshape(ncb, fpc, channels)
+        frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
+        h0 = np.broadcast_to(np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
+        w0 = np.broadcast_to(np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
+        p0 = np.zeros((nb, bb), np.int32)
+        xdev_d = jax.block_until_ready(
+            jax.jit(lambda x: jnp.tile(x[None], (nb, 1, 1, nfb)))(
+                jnp.asarray(one_file)
+            )
+        )
+
+        def dev_encode_v():
+            return encode_corpus_vbr_nv_blocks(
+                xdev_d, frames_lane, h0, w0, p0,
+                scale_factor_frames=sff,
+                scale_factor_bits=sfb,
+                base=base,
+                dist=(m1, p1, p2),
+                n_files=nfb,
+                use_pallas=use_pallas,
+            )
+
+        probe = lambda out: np.asarray(
+            (leaf := jax.tree_util.tree_leaves(out)[0])[(0,) * leaf.ndim]
+        )
+        probe(dev_encode_v())
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            probe(dev_encode_v())
+            ts.append(time.perf_counter() - t0)
+        n_enc_dev = nb * nfb * ncb * fpc * channels
+        msps = n_enc_dev / min(ts) / 1e6
+        log(
+            f"VBR corpus encode device-resident ({nb * nfb} files): "
+            f"{min(ts) * 1e3:.0f} ms = {msps:.1f} Msamples/s"
+        )
+        return msps
+
+    vbr_enc_dev_msps = stage("device_encode_vbr", 120, x_device_encode_vbr)
+
     baseline_per_chip = 500.0 / 8.0  # BASELINE.json: 500 Msamples/s on v5e-8
     rnd = lambda x, k=2: None if x is None else round(x, k)
     print(
@@ -363,6 +434,7 @@ def main() -> None:
                 "multichannel8_roundtrip_ms": rnd(t_8_ms, 1),
                 "vbr_corpus_encode_Msps": rnd(vbr_msps),
                 "vbr_decode_device_Msps": rnd(vbr_dec_msps),
+                "vbr_encode_device_Msps": rnd(vbr_enc_dev_msps),
                 "compression_ratio": round(ratio, 2),
                 "psnr_db": round(psnr, 1),
                 "n_samples": n_samples, "n_decode_samples": n_dec_samples,

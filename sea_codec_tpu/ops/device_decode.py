@@ -281,8 +281,9 @@ def _fetch_span_words_matmul(
         for b in range(4):
             cols.append(planes[b][:, p : p + bw])
     s_mat = jnp.stack(cols, axis=2).astype(jnp.bfloat16)  # [N, bw, span*4]
-    # block over rows: the [blk, WG, bw] one-hot is the only large buffer
-    blk = min(n, 2048)
+    # block over rows: the [blk, WG, bw] one-hot is the only large buffer;
+    # cap it at ~1 GB bf16 so giant chunk_size configs stay in HBM
+    blk = max(8, min(n, 2048, (1 << 29) // max(1, wg * bw)))
     n_pad = -(-n // blk) * blk
     if n_pad != n:
         word0 = jnp.pad(word0, ((0, n_pad - n), (0, 0)))
@@ -383,7 +384,9 @@ def unpack_var_windowed(
     word0 = jnp.minimum(gstart >> 5, bw - span)  # [N, WG]
     phase = gstart - (word0 << 5)  # < 32 except clamped tail garbage
 
-    if matmul_fetch:
+    # for extreme rows (chunk_size-scale payloads) the one-hot K dimension
+    # outgrows the matmul's advantage over the 13 ns/element gather
+    if matmul_fetch and bw <= 32768:
         words = _fetch_span_words_matmul(
             jnp.pad(data, ((0, 0), (0, (bw + span) * 4 - b))), word0, bw, span
         )
