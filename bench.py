@@ -123,12 +123,13 @@ def main() -> None:
     )
     # tile ON DEVICE: uploading the host-tiled batch is ~200 MB over a
     # tunnel whose throughput varies 10x run to run; the base batch is <1 MB
-    args = tuple(
-        jax.block_until_ready(
-            jax.jit(lambda x: jnp.tile(x, (decode_mult,) + (1,) * (x.ndim - 1)))(
-                jnp.asarray(a)
-            )
+    def device_tile(a, reps):
+        return jax.block_until_ready(
+            jax.jit(lambda x: jnp.tile(x, reps))(jnp.asarray(a))
         )
+
+    args = tuple(
+        device_tile(a, (decode_mult,) + (1,) * (a.ndim - 1))
         for a in (batch.res_bytes, batch.sf, batch.rs, batch.hist, batch.wts)
     )
     n_dec_samples = n_samples * decode_mult
@@ -189,11 +190,7 @@ def main() -> None:
         w0 = np.broadcast_to(np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
         p0 = np.zeros((nb, bb), np.int32)
         # tile the ~80 MB lane block on device from the ~300 KB base file
-        xdev_d = jax.block_until_ready(
-            jax.jit(lambda x: jnp.tile(x[None], (nb, 1, 1, nfb)))(
-                jnp.asarray(one_file)
-            )
-        )
+        xdev_d = device_tile(one_file[None], (nb, 1, 1, nfb))
 
         def dev_encode():
             return encode_corpus_cbr_packed_blocks(
@@ -303,6 +300,9 @@ def main() -> None:
     def x_vbr_decode():
         # device VBR decode on the same tiled-batch methodology as the
         # headline (windowed group-gather unpack; see ops/device_decode.py)
+        if not vbr_bytes_cell:
+            log("[skip] vbr_decode_device: no VBR bytes (vbr_corpus skipped)")
+            return None
         enc_v = vbr_bytes_cell[0]  # 8 chunks x 5120 frames x 2ch
         hdr_v, rect_v, _ = split_chunks(enc_v)
         bv = parse_full_chunks(rect_v, hdr_v)
@@ -310,17 +310,13 @@ def main() -> None:
         mult_v = 3072  # 24576 chunks / 252M samples per call (sweet spot:
         # 1527/1854/1844 Msps at 12k/24k/49k chunks, scripts/perf_decode_quick)
         args_v = tuple(
-            jax.block_until_ready(
-                jax.jit(lambda x: jnp.tile(x, (mult_v,) + (1,) * (x.ndim - 1)))(
-                    jnp.asarray(a)
-                )
-            )
+            device_tile(a, (mult_v,) + (1,) * (a.ndim - 1))
             for a in (bv.res_bytes, bv.sf, bv.rs, bv.hist, bv.wts)
         )
         n_v = bv.res_bytes.shape[0] * mult_v * fpc * channels
 
         def dev_decode_v():
-            from sea_codec_tpu.batch import _max_code_bits
+            from sea_codec_tpu.ops.device_decode import batch_max_code_bits as _max_code_bits
 
             return decode_chunks_packed(
                 *args_v,
@@ -379,11 +375,7 @@ def main() -> None:
         h0 = np.broadcast_to(np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
         w0 = np.broadcast_to(np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
         p0 = np.zeros((nb, bb), np.int32)
-        xdev_d = jax.block_until_ready(
-            jax.jit(lambda x: jnp.tile(x[None], (nb, 1, 1, nfb)))(
-                jnp.asarray(one_file)
-            )
-        )
+        xdev_d = device_tile(one_file[None], (nb, 1, 1, nfb))
 
         def dev_encode_v():
             return encode_corpus_vbr_nv_blocks(

@@ -56,7 +56,7 @@ def main():
         n_samples = frames * channels * mult
 
         def dev_decode():
-            from sea_codec_tpu.batch import _max_code_bits
+            from sea_codec_tpu.ops.device_decode import batch_max_code_bits as _max_code_bits
 
             return decode_chunks_packed(
                 *args,

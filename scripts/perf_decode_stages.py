@@ -133,10 +133,13 @@ def main():
 
     # --- D: full packed decode ---
     def stage_d():
+        from sea_codec_tpu.ops.device_decode import batch_max_code_bits
+
         out = decode_chunks_packed(
             res_bytes, sf, rs, hist, wts, dqt_flat,
             scale_factor_frames=sff, frames=f, residual_size=rsz,
             use_pallas=True,
+            max_code_bits=batch_max_code_bits(np.asarray(rs), rsz),
         )
         return np.asarray(out[0, 0, 0])
 

@@ -32,7 +32,11 @@ from .container import (
 )
 from .models.decoder import DecoderModel
 from .ops import bitpack, tables
-from .ops.device_decode import decode_chunks_packed, default_use_pallas
+from .ops.device_decode import (
+    batch_max_code_bits as _max_code_bits,
+    decode_chunks_packed,
+    default_use_pallas,
+)
 from .utils.errors import SeaInvalidFrame
 
 
@@ -159,6 +163,7 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
             )
         # dispatch all device batches first (async), then fetch
         outs = []
+        mcb = _max_code_bits(batch.rs, batch.residual_size)
         for start in range(0, n, device_batch):
             end = min(start + device_batch, n)
             outs.append(
@@ -173,7 +178,7 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
                     frames=fpc,
                     residual_size=batch.residual_size,
                     use_pallas=default_use_pallas(),
-                    max_code_bits=_max_code_bits(batch.rs, batch.residual_size),
+                    max_code_bits=mcb,
                 )
             )
         for k, out in enumerate(outs):
@@ -204,18 +209,6 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
     return SeaDecodeInfo(
         samples=samples, sample_rate=header.sample_rate, channels=header.channels
     )
-
-
-def _max_code_bits(rs: np.ndarray, residual_size: int) -> int:
-    """Static VBR span bound = the batch's largest residual size.
-
-    Rounded up to even so the jit cache sees at most 4 variants; unused
-    (fixed 8) for CBR so the constant-width path never forks compiles.
-    """
-    if residual_size or rs.size == 0:
-        return 8
-    m = int(rs.max())
-    return min(8, m + (m & 1))
 
 
 def _check_chunk_size(n: int) -> None:
@@ -890,6 +883,7 @@ def decode_corpus(
         hist = np.concatenate([b.hist for _fi, b in members])
         wts = np.concatenate([b.wts for _fi, b in members])
         n = res.shape[0]
+        mcb = _max_code_bits(rs, residual_size)
         outs = []
         for startk in range(0, n, device_batch):
             endk = min(startk + device_batch, n)
@@ -928,7 +922,7 @@ def decode_corpus(
                 frames=fpc,
                 residual_size=residual_size,
                 use_pallas=use_pallas,
-                max_code_bits=_max_code_bits(rs, residual_size),
+                max_code_bits=mcb,
             )
             outs.append(out[:n_real] if pad else out)
         if len(outs) > 1:
