@@ -88,11 +88,11 @@ def main() -> None:
 
     channels = 2
     n_chunks = 128  # encoded corpus; decode measures on a tiled multiple
-    decode_mult = 512  # 65536 chunks / 671M samples per decode call
+    decode_mult = 768  # 98304 chunks / 1007M samples per decode call
     # (the relay adds ~30 ms fixed dispatch+probe cost per call; the batch
-    # size amortizes it -- with the gather-free dequant prolog the sweep
-    # measured 3566/4447/4536 Msps at mult 192/512/768; 512 balances
-    # throughput against HBM pressure)
+    # size amortizes it -- with the int16 dequant stream the sweep measured
+    # 3881/4858/4998 Msps at mult 192/512/768, and the halved dq footprint
+    # makes 768 comfortable in HBM)
     fpc = 5120
     frames = n_chunks * fpc
     settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=fpc)
@@ -307,8 +307,8 @@ def main() -> None:
         hdr_v, rect_v, _ = split_chunks(enc_v)
         bv = parse_full_chunks(rect_v, hdr_v)
         dqt_v = jnp.asarray(tables.dqt_stacked(bv.scale_factor_bits).reshape(-1), jnp.int32)
-        mult_v = 3072  # 24576 chunks / 252M samples per call (sweet spot:
-        # 1527/1854/1844 Msps at 12k/24k/49k chunks, scripts/perf_decode_quick)
+        mult_v = 6144  # 49152 chunks / 503M samples per call (int16 dq
+        # sweep: 1891/1952 Msps at 24k/49k chunks, scripts/perf_decode_quick)
         args_v = tuple(
             device_tile(a, (mult_v,) + (1,) * (a.ndim - 1))
             for a in (bv.res_bytes, bv.sf, bv.rs, bv.hist, bv.wts)

@@ -134,6 +134,10 @@ def decode_chunks_fn(
     curve = jnp.where(k == 0, pw(c0_win), curve)
     dq_abs = jnp.floor(pw(sfval_win) * curve + jnp.float32(0.5)).astype(jnp.int32)
     dq = jnp.where((q & 1) == 1, -dq_abs, dq_abs)
+    # int16 interface to the recurrence: |dq| <= 27090 for EVERY legal
+    # (sfb, rs) pair (asserted exhaustively in test_tables), so the
+    # dequant-write, lane transpose, and kernel-read traffic all halve
+    dq = dq.astype(jnp.int16)
     dq = dq.reshape(n, fp, c)[:, :f]
 
     if use_pallas:

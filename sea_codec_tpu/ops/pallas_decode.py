@@ -53,10 +53,10 @@ def _decode_kernel(lms_ref, dq_ref, out_ref, h_scratch, w_scratch, unroll=1):
 
     def body(s, carry):
         h0, h1, h2, h3, w0, w1, w2, w3 = carry
-        dq = dq_ref[s]
+        dq = dq_ref[s].astype(jnp.int32)  # int16 stream (half the VMEM/HBM)
         pred = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> thirteen
         recon = jnp.minimum(jnp.maximum(pred + dq, i16_min), i16_max)
-        out_ref[s] = recon
+        out_ref[s] = recon.astype(jnp.int16)  # clamped: exact, half the HBM
         delta = dq >> four
         w0 = w0 + jnp.where(h0 < 0, -delta, delta)
         w1 = w1 + jnp.where(h1 < 0, -delta, delta)
@@ -90,19 +90,19 @@ def _decode_kernel(lms_ref, dq_ref, out_ref, h_scratch, w_scratch, unroll=1):
 
 @partial(jax.jit, static_argnames=("time_block", "sublanes", "unroll"))
 def lms_decode_lanes(
-    dq: jnp.ndarray,  # int32[T, R, 128], T % time_block == 0, R % sublanes == 0
+    dq: jnp.ndarray,  # int16/int32[T, R, 128], T % time_block == 0, R % sublanes == 0
     lms: jnp.ndarray,  # int32[8, R, 128]: planes h0..h3, w0..w3
     time_block: int = 512,
     sublanes: int = SUBLANES,
     unroll: int = 1,
-) -> jnp.ndarray:  # int32[T, R, 128] reconstructed samples
+) -> jnp.ndarray:  # int16[T, R, 128] reconstructed samples
     t, r, _ = dq.shape
     s = sublanes
     assert t % time_block == 0 and r % s == 0
     grid = (r // s, t // time_block)
     return pl.pallas_call(
         partial(_decode_kernel, unroll=unroll),
-        out_shape=jax.ShapeDtypeStruct((t, r, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((t, r, 128), jnp.int16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, s, 128), lambda l, tt: (l * 0, l, l * 0), memory_space=pltpu.VMEM),
@@ -124,7 +124,7 @@ def lms_decode_lanes(
 
 
 def decode_scan_pallas_lanes(
-    dq_l: jnp.ndarray,  # int32[F, B] dequantized values, lane-major
+    dq_l: jnp.ndarray,  # int16[F, B] dequantized values, lane-major
     hist0: jnp.ndarray,  # int32[N, C, 4]
     wts0: jnp.ndarray,  # int32[N, C, 4]
     n: int,
@@ -155,7 +155,7 @@ def decode_scan_pallas_lanes(
         f_pad = f
 
     if (f_pad, b_pad) != (f, b):
-        dq_l = jnp.zeros((f_pad, b_pad), dtype=jnp.int32).at[:f, :b].set(dq_l)
+        dq_l = jnp.zeros((f_pad, b_pad), dtype=dq_l.dtype).at[:f, :b].set(dq_l)
     lms_l = jnp.zeros((8, b_pad), dtype=jnp.int32)
     state = jnp.concatenate([hist0, wts0], axis=-1)  # [N, C, 8]
     lms_l = lms_l.at[:, :b].set(state.reshape(b, 8).T)
@@ -176,7 +176,7 @@ def decode_scan_pallas_lanes(
 
 
 def decode_scan_pallas(
-    dq: jnp.ndarray,  # int32[N, F, C] pre-gathered dequantized values
+    dq: jnp.ndarray,  # int16[N, F, C] pre-gathered dequantized values
     hist0: jnp.ndarray,  # int32[N, C, 4]
     wts0: jnp.ndarray,  # int32[N, C, 4]
     interpret: bool = False,
@@ -193,7 +193,7 @@ def _lms_decode_lanes_interpret(dq, lms, time_block, sublanes=8):
     grid = (r // s, t // time_block)
     return pl.pallas_call(
         _decode_kernel,
-        out_shape=jax.ShapeDtypeStruct((t, r, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((t, r, 128), jnp.int16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, s, 128), lambda l, tt: (l * 0, l, l * 0)),

@@ -58,3 +58,15 @@ def test_dqt_stacked_padding():
     for rb in range(1, 9):
         np.testing.assert_array_equal(st[rb - 1, :, : 1 << rb], tables.dqt(rb, 4))
         assert np.all(st[rb - 1, :, 1 << rb :] == 0)
+
+
+def test_dqt_fits_int16_for_every_config():
+    """The decode path streams dequantized values as int16 (half the HBM
+    traffic of int32); this exhaustively pins that every legal (sfb, rs)
+    table value fits: max |dqt| is 27090 across the whole domain."""
+    import numpy as np
+
+    from sea_codec_tpu.ops import tables
+
+    m = max(int(np.abs(tables.dqt_stacked(sfb)).max()) for sfb in range(1, 9))
+    assert m == 27090 and m < 32768
