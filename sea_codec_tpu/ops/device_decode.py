@@ -260,73 +260,75 @@ def _group_frames(scale_factor_frames: int, channels: int) -> int:
     return g
 
 
-def _fetch_span_words_matmul(
-    data: jnp.ndarray,  # uint8[N, 4*bwp] padded byte rows
-    word0: jnp.ndarray,  # int32[N, WG] first word index per group
-    bw: int,  # words of real payload per row
-    span: int,
-) -> jnp.ndarray:  # uint32[N, span, WG]
-    """Span-word fetch as a one-hot bf16 matmul on the MXU.
+def _fetch_neighborhood_matmul(
+    data: jnp.ndarray,  # uint8[N, >= 4*(8*k1 + n_words)] padded byte rows
+    base8: jnp.ndarray,  # int32[N, WG] 8-word-aligned block index per group
+    k1: int,  # one-hot width = number of 8-word blocks per row
+    n_words: int,  # int32 words per fetched neighborhood
+) -> jnp.ndarray:  # uint32[N, n_words, WG]
+    """Neighborhood-word fetch as a one-hot bf16 matmul on the MXU.
 
     XLA TPU dynamic gathers cost ~13 ns/element no matter how they are
     phrased (scripts/perf_vbr_gather.py), which made the word fetch ~96% of
     the whole VBR decode. The MXU does the same selection at matmul speed:
-    out[n, wg, (p, b)] = sum_j onehot(j == word0[n, wg]) * plane_b[n, j+p].
-    Exactness: byte values 0..255 and 0/1 mask entries are exact in
+    out[n, wg, (p, b)] = sum_j onehot(j == base8[n, wg]) * plane_b[n, 8j+p].
+    Addressing 8-word-ALIGNED blocks instead of exact start words shrinks
+    the one-hot contraction 8x (the one-hot build/read is the dominant HBM
+    traffic); the extraction select-chains absorb the <=255-bit in-block
+    phase. Exactness: byte values 0..255 and 0/1 mask entries are exact in
     bfloat16, and each dot-product row has exactly one nonzero term, so the
     f32 accumulation is the exact integer -- no rounding anywhere.
     """
-    n, wg = word0.shape
-    span4 = span * 4
-    # block over rows: the [blk, WG, bw] one-hot (and for huge batches the
-    # [blk, bw, span*4] shifted-plane stack too) is built per block inside
-    # the map body, bounding live HBM regardless of batch size
-    blk = max(8, min(n, 4096, (1 << 30) // max(1, wg * bw)))
+    n, wg = base8.shape
+    nw4 = n_words * 4
+    # block over rows; per-block buffers (the [blk, WG, k1] one-hot and,
+    # for huge batches, the [blk, 8*k1, nw4] shifted-plane stack) bound
+    # live HBM regardless of batch size
+    blk = max(8, min(n, 4096, (1 << 30) // max(1, wg * k1)))
     n_pad = -(-n // blk) * blk
-    # shifted byte planes: S[n, j, (p, b)] = byte[n, 4*(j+p) + b]. Built
-    # ONCE outside the map when the stack fits comfortably (one fused pass
-    # over the whole batch measures ~8% faster than per-block rebuilds);
-    # per-block from the compact uint8 rows otherwise.
-    prebuild = n * bw * span4 * 2 <= (5 << 28)  # <= 1.25 GB bf16
+    # shifted byte planes: S[n, j, (p, b)] = byte[n, 4*(8*j + p) + b]. Built
+    # once outside the map when the stack fits comfortably (one fused pass
+    # over the whole batch measures faster than per-block rebuilds).
+    prebuild = n * k1 * nw4 * 2 <= (5 << 28)  # <= 1.25 GB bf16
 
     def make_s(d_rows):
         planes = [d_rows[:, b::4] for b in range(4)]
         cols = []
-        for p in range(span):
+        for p in range(n_words):
             for b4 in range(4):
-                cols.append(planes[b4][:, p : p + bw])
-        return jnp.stack(cols, axis=2).astype(jnp.bfloat16)  # [., bw, span*4]
+                cols.append(planes[b4][:, p : p + 8 * k1 : 8])
+        return jnp.stack(cols, axis=2).astype(jnp.bfloat16)  # [., k1, nw4]
 
-    iota_w = jnp.arange(bw, dtype=jnp.int32)
+    iota_k = jnp.arange(k1, dtype=jnp.int32)
 
-    def pick(w0_b, s_b):
-        onehot = (w0_b[:, :, None] == iota_w[None, None, :]).astype(jnp.bfloat16)
+    def pick(b8_b, s_b):
+        onehot = (b8_b[:, :, None] == iota_k[None, None, :]).astype(jnp.bfloat16)
         out = jax.lax.dot_general(
             onehot,
             s_b,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [blk, WG, span*4]
+        )  # [blk, WG, nw4]
         return out.astype(jnp.int32)
 
     if n_pad != n:
-        word0 = jnp.pad(word0, ((0, n_pad - n), (0, 0)))
+        base8 = jnp.pad(base8, ((0, n_pad - n), (0, 0)))
         data = jnp.pad(data, ((0, n_pad - n), (0, 0)))
-    w0_blocks = word0.reshape(-1, blk, wg)
+    b8_blocks = base8.reshape(-1, blk, wg)
     if prebuild:
-        s_blocks = make_s(data).reshape(-1, blk, bw, span4)
-        out = jax.lax.map(lambda a: pick(*a), (w0_blocks, s_blocks))
+        s_blocks = make_s(data).reshape(-1, blk, k1, nw4)
+        out = jax.lax.map(lambda a: pick(*a), (b8_blocks, s_blocks))
     else:
         d_blocks = data.reshape(-1, blk, data.shape[1])
-        out = jax.lax.map(lambda a: pick(a[0], make_s(a[1])), (w0_blocks, d_blocks))
-    out = out.reshape(n_pad, wg, span, 4)[:n]
+        out = jax.lax.map(lambda a: pick(a[0], make_s(a[1])), (b8_blocks, d_blocks))
+    out = out.reshape(n_pad, wg, n_words, 4)[:n]
     words = (
         (out[..., 0].astype(jnp.uint32) << 24)
         | (out[..., 1].astype(jnp.uint32) << 16)
         | (out[..., 2].astype(jnp.uint32) << 8)
         | out[..., 3].astype(jnp.uint32)
-    )  # [N, WG, span]
-    return jnp.moveaxis(words, 1, 2)  # [N, span, WG]
+    )  # [N, WG, n_words]
+    return jnp.moveaxis(words, 1, 2)  # [N, n_words, WG]
 
 
 def unpack_var_windowed(
@@ -396,20 +398,29 @@ def unpack_var_windowed(
     gstart = (win_start[:, :, None] + grp[None, None, :] * wsum[:, :, None]).reshape(
         n, wg
     )
-    word0 = jnp.minimum(gstart >> 5, bw - span)  # [N, WG]
-    phase = gstart - (word0 << 5)  # < 32 except clamped tail garbage
-
     # for extreme rows (chunk_size-scale payloads) the one-hot K dimension
     # outgrows the matmul's advantage over the 13 ns/element gather
     if matmul_fetch and bw <= 32768:
-        words = _fetch_span_words_matmul(
-            jnp.pad(data, ((0, 0), (0, (bw + span) * 4 - b))), word0, bw, span
+        # 8-word-aligned neighborhoods: the one-hot contraction is over k1 =
+        # bw/8 blocks (8x less one-hot traffic than exact-word addressing);
+        # the <= 255-bit in-block phase is absorbed by the extraction
+        # select-chains below via a wider neighborhood
+        k1 = -(-bw // 8) + 1
+        n_words = (255 + gc * max_code_bits + 31) // 32 + 1
+        base8 = jnp.minimum(gstart >> 8, k1 - 1)  # [N, WG]
+        phase = gstart - (base8 << 8)  # < 256 except clamped tail garbage
+        need = 4 * (8 * k1 + n_words)
+        words = _fetch_neighborhood_matmul(
+            jnp.pad(data, ((0, 0), (0, need - b))), base8, k1, n_words
         )
     else:
+        word0 = jnp.minimum(gstart >> 5, bw - span)  # [N, WG]
+        phase = gstart - (word0 << 5)  # < 32 except clamped tail garbage
         # gather directly into [N, span, WG] (no transpose afterwards)
         j = jnp.arange(span, dtype=jnp.int32)
         gidx = (word0[:, None, :] + j[None, :, None]).reshape(n, span * wg)
         words = jnp.take_along_axis(words_row, gidx, axis=1).reshape(n, span, wg)
+    nw = words.shape[1]  # fetched words per group (span or n_words)
 
     # per-window scalars expanded to [N, WG] (tiny, materialize freely)
     expand_wg = lambda a: jnp.broadcast_to(a[:, :, None], (n, w, n_groups)).reshape(
@@ -429,16 +440,16 @@ def unpack_var_windowed(
         wid_slot = jnp.where(sel, expand_wg(rs32[:, :, ci])[:, None, :], wid_slot)
 
     local = phase[:, None, :] + tvec * wsum_wg[:, None, :] + pre_slot  # [N, gC, WG]
-    wj_idx = jnp.minimum(local >> 5, span - 2)
+    wj_idx = jnp.minimum(local >> 5, nw - 2)
     s = jnp.minimum(local - (wj_idx << 5), 31).astype(jnp.uint32)
 
     # register-resident word-pair pick as masked-sum REDUCTIONS over the
-    # span axis (NO gather). A chain of wheres expresses the same pick, but
-    # XLA materializes every chain step as a slot-sized HBM temp (~12 x
-    # 960 MB at 24k chunks -> OOM); a reduce fuses its masked producer into
-    # one pass and only the two outputs exist.
-    iota = jnp.arange(span - 1, dtype=jnp.int32)[None, :, None, None]
-    m = wj_idx[:, None, :, :] == iota  # [N, span-1, gC, WG], fused
+    # fetched-words axis (NO gather). A chain of wheres expresses the same
+    # pick, but XLA materializes every chain step as a slot-sized HBM temp
+    # (~12 x 960 MB at 24k chunks -> OOM); a reduce fuses its masked
+    # producer into one pass and only the two outputs exist.
+    iota = jnp.arange(nw - 1, dtype=jnp.int32)[None, :, None, None]
+    m = wj_idx[:, None, :, :] == iota  # [N, nw-1, gC, WG], fused
     wj = jnp.sum(jnp.where(m, words[:, :-1, None, :], 0), axis=1)
     wj1 = jnp.sum(jnp.where(m, words[:, 1:, None, :], 0), axis=1)
 
