@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from sea_codec_tpu import EncoderSettings
 from sea_codec_tpu.batch import encode_sea, parse_full_chunks, split_chunks
 from sea_codec_tpu.ops.device_decode import (
-    _dequant_window_constants,
     decode_chunks_packed,
+    dequant_codes,
     unpack_const_strided,
 )
 from sea_codec_tpu.ops.pallas_decode import decode_scan_pallas_lanes
@@ -78,31 +78,15 @@ def main():
     t1 = timeit(lambda: np.asarray(s1(res_bytes)[0, 0]))
     print(f"S1 unpack:            {t1*1e3:7.1f} ms", file=sys.stderr, flush=True)
 
-    # production dequant (CBR static_rs, select chains, int16 out), [N,F,C]
-    def dequant(codes, sf_codes):
-        sf_w = sf_codes.astype(jnp.int32)
-        rs_w = jnp.full_like(sf_w, rsz)
-        sfval_win, c0_win, stepf_win, endv_win, kmax_win = _dequant_window_constants(
-            sf_w, rs_w, sfb, rsz
-        )
-        reps = sff
-        fp = w * reps
-        q = codes.astype(jnp.int32)
-        q = q.reshape(n, w, reps, c)
-        pw = lambda x: x[:, :, None, :] if getattr(x, "ndim", 0) == 3 else x
-        k = q >> 1
-        kf = k.astype(jnp.float32)
-        curve = jnp.float32(0.5) + kf * pw(stepf_win)
-        curve = jnp.where(k == pw(kmax_win), pw(endv_win), curve)
-        curve = jnp.where(k == 0, pw(c0_win), curve)
-        dq_abs = jnp.floor(pw(sfval_win) * curve + jnp.float32(0.5)).astype(jnp.int32)
-        dq = jnp.where((q & 1) == 1, -dq_abs, dq_abs).astype(jnp.int16)
-        return dq.reshape(n, fp, c)[:, :f]
-
+    # the SHARED production dequant (device_decode.dequant_codes) so the
+    # attribution can never drift from the shipped math
     @jax.jit
     def s2(res_bytes, sf_codes):
         codes = unpack_const_strided(res_bytes, rsz, count)
-        return dequant(codes, sf_codes)
+        rs_w = jnp.full((n, w, c), rsz, jnp.uint8)
+        return dequant_codes(
+            codes.reshape(n, f, c), sf_codes, rs_w, sfb, sff, static_rs=rsz
+        )
 
     t2 = timeit(lambda: np.asarray(s2(res_bytes, sf)[0, 0, 0]))
     print(f"S2 +dequant [N,F,C]:  {t2*1e3:7.1f} ms", file=sys.stderr, flush=True)
@@ -350,25 +334,15 @@ def proto_kchain():
     print(f"S8 k-chain dequant:   {t8*1e3:7.1f} ms", file=sys.stderr, flush=True)
 
     # bit-equality vs the f32 production dequant on a slice
-    from sea_codec_tpu.ops.device_decode import _dequant_window_constants
+    from sea_codec_tpu.ops.device_decode import dequant_codes
 
     @jax.jit
     def ref(res_bytes, sf_codes):
         codes = unpack_const_strided(res_bytes, rsz, count)
-        sf_w = sf_codes.astype(jnp.int32)
-        rs_w = jnp.full_like(sf_w, rsz)
-        sfval_win, c0_win, stepf_win, endv_win, kmax_win = _dequant_window_constants(
-            sf_w, rs_w, sfb, rsz
+        rs_w = jnp.full((n, w, c), rsz, jnp.uint8)
+        return dequant_codes(
+            codes.reshape(n, f, c), sf_codes, rs_w, sfb, sff, static_rs=rsz
         )
-        q = codes.astype(jnp.int32).reshape(n, w, sff, c)
-        pw = lambda x: x[:, :, None, :] if getattr(x, "ndim", 0) == 3 else x
-        k = q >> 1
-        curve = jnp.float32(0.5) + k.astype(jnp.float32) * pw(stepf_win)
-        curve = jnp.where(k == pw(kmax_win), pw(endv_win), curve)
-        curve = jnp.where(k == 0, pw(c0_win), curve)
-        dq_abs = jnp.floor(pw(sfval_win) * curve + jnp.float32(0.5)).astype(jnp.int32)
-        dq = jnp.where((q & 1) == 1, -dq_abs, dq_abs).astype(jnp.int16)
-        return dq.reshape(n, w * sff, c)[:, :f]
 
     np.testing.assert_array_equal(
         np.asarray(s8(res_bytes, sf)[:64]), np.asarray(ref(res_bytes, sf)[:64])

@@ -75,38 +75,26 @@ def _dequant_window_constants(
     return sfval, c0, stepf, endv, kmax
 
 
-def decode_chunks_fn(
+def dequant_codes(
     codes: jnp.ndarray,  # uint8[N, F, C] quantized residual codes
     sf_codes: jnp.ndarray,  # uint8[N, W, C] scale factors per window
     rs: jnp.ndarray,  # uint8[N, W, C] residual sizes per window (1..8)
-    hist0: jnp.ndarray,  # int32[N, C, 4] chunk-entry LMS history
-    wts0: jnp.ndarray,  # int32[N, C, 4] chunk-entry LMS weights
-    dqt_flat: jnp.ndarray,  # int32[8 * n_sf * 256] stacked dequant table
+    sfb: int,
     scale_factor_frames: int,
-    use_pallas: bool = False,
-    pallas_interpret: bool = False,
     static_rs: int = 0,  # >0: every window uses this residual size (CBR)
 ) -> jnp.ndarray:
-    """Decode a batch of chunks -> int16[N, F, C]."""
+    """Production dequantization: codes -> int16[N, F, C] dequantized values.
+
+    Per-window constants via fused select chains (NO gathers -- see
+    _select_chain), then the per-sample value computed *arithmetically* -- a
+    [N, F, C]-sized table gather here would dominate the whole decode (XLA
+    TPU gathers are ~ns/element). The closed forms reproduce the table
+    build exactly (see FORMAT.md and ops/pallas_encode.py); bit-equality
+    with the gather path is tested. Shared with the perf-attribution
+    scripts so measurements can never drift from the shipped math.
+    """
     n, f, c = codes.shape
     w = sf_codes.shape[1]
-    n_sf = dqt_flat.shape[0] // (8 * 256)
-    assert w * scale_factor_frames >= f
-    sfb = int(np.log2(n_sf))
-
-    # Design note: a fused kernel that dequantizes *inside* the Pallas LMS
-    # kernel (cutting the [N, F, C] int32 dq intermediate out of HBM) was
-    # built and measured bit-exact but ~1.9x SLOWER end to end on v5e,
-    # invariant under const-load hoisting and a vectorized dequant phase
-    # into VMEM scratch -- the XLA prolog + plain recurrence kernel below is
-    # the faster split, so it stays.
-
-    # Per-window dequantization constants via fused select chains (NO
-    # gathers -- see _select_chain), then the per-sample dequantized value
-    # computed *arithmetically* -- a [N, F, C]-sized table gather here would
-    # dominate the whole decode (XLA TPU gathers are ~ns/element).
-    # The closed forms reproduce the table build exactly (see FORMAT.md and
-    # ops/pallas_encode.py); bit-equality with the gather path is tested.
     sf_w = sf_codes.astype(jnp.int32)
     rs_w = rs.astype(jnp.int32)
     sfval_win, c0_win, stepf_win, endv_win, kmax_win = _dequant_window_constants(
@@ -117,8 +105,10 @@ def decode_chunks_fn(
     # per-window constants broadcast along the sff axis in-register. (The
     # previous jnp.repeat-based per-frame expansion materialized five
     # [N, F, C] repeat gathers and dominated the whole decode: 168 of
-    # 218 ms on the 252-Msample bench shape; this form is ~an order of
-    # magnitude cheaper with bit-identical results.)
+    # 218 ms on the 252-Msample bench shape. A padding-free channel-major
+    # [W, sff, C*N] layout and an integer dqt-select-chain variant were
+    # both prototyped on TPU and measured no better / 20% worse -- see
+    # IMPLEMENTATION_NOTES.md and scripts/perf_decode_stages3.py.)
     reps = scale_factor_frames
     fp = w * reps
     q = codes.astype(jnp.int32)
@@ -138,7 +128,35 @@ def decode_chunks_fn(
     # (sfb, rs) pair (asserted exhaustively in test_tables), so the
     # dequant-write, lane transpose, and kernel-read traffic all halve
     dq = dq.astype(jnp.int16)
-    dq = dq.reshape(n, fp, c)[:, :f]
+    return dq.reshape(n, fp, c)[:, :f]
+
+
+def decode_chunks_fn(
+    codes: jnp.ndarray,  # uint8[N, F, C] quantized residual codes
+    sf_codes: jnp.ndarray,  # uint8[N, W, C] scale factors per window
+    rs: jnp.ndarray,  # uint8[N, W, C] residual sizes per window (1..8)
+    hist0: jnp.ndarray,  # int32[N, C, 4] chunk-entry LMS history
+    wts0: jnp.ndarray,  # int32[N, C, 4] chunk-entry LMS weights
+    dqt_flat: jnp.ndarray,  # int32[8 * n_sf * 256] stacked dequant table
+    scale_factor_frames: int,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+    static_rs: int = 0,  # >0: every window uses this residual size (CBR)
+) -> jnp.ndarray:
+    """Decode a batch of chunks -> int16[N, F, C]."""
+    f = codes.shape[1]
+    w = sf_codes.shape[1]
+    n_sf = dqt_flat.shape[0] // (8 * 256)
+    assert w * scale_factor_frames >= f
+    sfb = int(np.log2(n_sf))
+
+    # Design note: a fused kernel that dequantizes *inside* the Pallas LMS
+    # kernel (cutting the [N, F, C] dq intermediate out of HBM) was built
+    # and measured bit-exact but ~1.9x SLOWER end to end on v5e, invariant
+    # under const-load hoisting and a vectorized dequant phase into VMEM
+    # scratch -- the XLA prolog + plain recurrence kernel below is the
+    # faster split, so it stays.
+    dq = dequant_codes(codes, sf_codes, rs, sfb, scale_factor_frames, static_rs)
 
     if use_pallas:
         # (a lane-major variant that transposes the 1-byte codes instead of

@@ -137,7 +137,10 @@ def decode_scan_pallas_lanes(
     in that layout (transposing the 1-byte codes instead of the 4-byte dq)."""
     f, b = dq_l.shape
     assert b == n * c
-    # wide lane tiles for big batches; narrow for small ones (less padding)
+    # wide lane tiles for big batches; narrow for small ones (less padding).
+    # int16 blocks with 8 sublanes are accepted by Mosaic and verified on
+    # real v5e (bench mono/8ch round trips and the CLI drives exercise this
+    # small-batch path with the int16 dq/out streams).
     s_sub = SUBLANES if b > 2048 else 8
     lane_block = s_sub * 128
     b_pad = -(-b // lane_block) * lane_block
@@ -171,8 +174,8 @@ def decode_scan_pallas_lanes(
             dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128),
             time_block=tb, sublanes=s_sub,
         )
-    out = out.reshape(f_pad, b_pad)[:f, :b]
-    return out.reshape(f, n, c).transpose(1, 0, 2).astype(jnp.int16)
+    out = out.reshape(f_pad, b_pad)[:f, :b]  # already int16 from the kernel
+    return out.reshape(f, n, c).transpose(1, 0, 2)
 
 
 def decode_scan_pallas(
