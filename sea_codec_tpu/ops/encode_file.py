@@ -124,9 +124,10 @@ def encode_file_cbr(
 
 
 def _nv_pallas_layout(nv: jnp.ndarray, wp: int) -> jnp.ndarray:
-    """[nc, W, B] per-lane window lengths -> the kernel's [nc, WP, 1, 128]."""
+    """[nc, W, B] per-lane window lengths -> the kernel's [nc, WP, 1, L]."""
     nc, w, b = nv.shape
-    out = jnp.zeros((nc, wp, 1, 128), jnp.int32)
+    l = -(-b // 128) * 128
+    out = jnp.zeros((nc, wp, 1, l), jnp.int32)
     return out.at[:, :w, 0, :b].set(nv)
 
 

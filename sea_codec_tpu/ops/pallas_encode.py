@@ -320,7 +320,7 @@ def prepare_window_streams(
     whole-file encoder computes them once outside its chunk scan.
     """
     sff = scale_factor_frames
-    l = 128
+    l = -(-c // 128) * 128  # lane width: next multiple of 128 covering c
     wc = rs.shape[0]
     sfval_t, recip_t, c0_t, stepfloor_t, endval_t, kmax_t, climit_t = _rs_constants(
         scale_factor_bits
@@ -362,7 +362,7 @@ def prepare_n_valid(
     c: int,
 ):
     """[WP, 1, L] per-window per-lane valid frame counts (padding: 0)."""
-    l = 128
+    l = -(-c // 128) * 128
     nv = n_valid.astype(jnp.int32)
     wc = nv.shape[0]
     if nv.ndim == 1:
@@ -373,7 +373,8 @@ def prepare_n_valid(
     return out.at[:wc, 0, :].set(nv_l)
 
 
-def pack_state(hist0, wts0, prev_sf0, s: int, c: int, l: int = 128):
+def pack_state(hist0, wts0, prev_sf0, s: int, c: int, l: int = 0):
+    l = l or -(-c // 128) * 128
     state = jnp.zeros((9, s, l), jnp.int32)
     state = state.at[0:4, :, :c].set(jnp.broadcast_to(hist0.T[:, None, :], (4, s, c)))
     state = state.at[4:8, :, :c].set(jnp.broadcast_to(wts0.T[:, None, :], (4, s, c)))
@@ -392,11 +393,15 @@ def run_window_search(
     scale_factor_bits: int,
     c: int,
     interpret: bool = False,
+    l: int = 0,  # lane width (multiple of 128; 0 = derive from c): wider
+    # lanes amortize the sequential window sweep's per-step overhead over
+    # more vregs -- measured 267/507/740 Msps-lane at l=128/256/512 on v5e
+    # (scripts/perf_encode_lanes.py)
 ):
     """Raw kernel invocation; returns (codes, sf, ranks, state_out) padded."""
     sff = scale_factor_frames
     s = 1 << scale_factor_bits
-    l = 128
+    l = l or -(-c // 128) * 128
     sffp = -(-sff // 8) * 8
     sfval, recip, rci, rcf = streams
     wc = samples.shape[0] // sff
@@ -470,7 +475,7 @@ def encode_windows_pallas_fn(
     s = 1 << scale_factor_bits
     wc = rs.shape[0]
     c = samples.shape[1]
-    assert c <= 128, "more than 128 channels per kernel lane block not supported yet"
+    assert c <= 512, "kernel lane blocks support up to 512 lanes (VMEM bound)"
     streams, wb, wp = prepare_window_streams(
         rs, scale_factor_frames, scale_factor_bits, c
     )
