@@ -8,20 +8,29 @@ measured as program execution forced by a tiny result probe. BASELINE.json's
 north star is >=500 Msamples/sec decode on a v5e-8, i.e. 62.5 Msamples/sec
 per chip: vs_baseline = value / 62.5.
 
-Methodology note: in this environment the TPU is reached through a relay
-tunnel with ~50-200 ms per-call latency and highly variable bulk transfer
-(~70 MB/s on a good day, far less on a bad one); a "decode to host PCM"
-wall-clock is tunnel-bound, not codec-bound (on a production TPU host the
-decoded PCM feeds downstream device compute or a multi-GB/s PCIe link). We
-therefore report device-resident decode throughput as the headline and
-include the tunnel-bound end-to-end numbers as extras.
+Methodology notes:
+- The TPU is reached through a relay tunnel with ~50-200 ms per-call latency
+  and variable bulk transfer; "decode to host PCM" wall-clock is
+  tunnel-bound, not codec-bound (on a production TPU host the decoded PCM
+  feeds downstream device compute or a multi-GB/s PCIe link). The headline
+  is device-resident decode; tunnel-bound end-to-end numbers are extras,
+  and ``e2e_device_consumer_Msps`` times the production shape: bytes ->
+  decode -> on-device consumer (PSNR vs the device-resident original) with
+  no host PCM fetch.
+- Decode-batch content is DIVERSE: full chunks from many distinct
+  ``varied_signal`` files (random layered tones + noise), concatenated and
+  then tiled on device to corpus scale (tiling amortizes the relay's
+  per-call dispatch cost; every chunk decodes independently either way).
+- The headline's bitstreams come from the native C++ encoder, so the
+  headline never waits on the TPU encoder's multi-minute cold compile.
+  Encode-side stages run right after, ordered most-wanted-first, each under
+  a budget guard that reserves time for the remaining stages.
 
-Robustness: the headline runs FIRST; every extra is wrapped in a soft
-deadline (SEA_BENCH_BUDGET seconds, default 540) and an exception guard, so
-a slow tunnel or a flaky remote compile degrades extras to null instead of
-killing the JSON line. The persistent compilation cache
-(~/.cache/sea_codec_tpu/jax) makes warm reruns skip the multi-minute
-encoder compiles.
+Budget robustness: SEA_BENCH_BUDGET seconds (default 540). The repo ships a
+pre-populated XLA compilation cache (.jax_cache/) so encoder programs load
+as warm binaries; stage guards degrade gracefully to null metrics when the
+cache misses and a cold compile eats the budget. Correctness assertions
+inside stages are recorded in ``failed_stages`` (never silently absorbed).
 
 Diagnostics go to stderr; the single JSON line goes to stdout.
 """
@@ -37,6 +46,7 @@ import numpy as np
 
 T_START = time.perf_counter()
 BUDGET = float(os.environ.get("SEA_BENCH_BUDGET", "540"))
+FAILED: list[str] = []
 
 
 def log(*args):
@@ -47,23 +57,42 @@ def left() -> float:
     return BUDGET - (time.perf_counter() - T_START)
 
 
-def stage(name: str, need_s: float, fn):
-    """Run an extra stage if budget remains; None (and keep going) if not."""
-    if left() < need_s:
-        log(f"[skip] {name}: {left():.0f}s left < {need_s:.0f}s needed")
+def stage(name: str, need_s: float, fn, reserve: float = 0.0):
+    """Run a stage if ``need_s`` fits in the remaining budget after keeping
+    ``reserve`` seconds for the stages that follow. Correctness assertions
+    are recorded in FAILED (visible in the JSON) instead of being silently
+    absorbed into a null metric."""
+    if left() < need_s + reserve:
+        log(f"[skip] {name}: {left():.0f}s left < {need_s:.0f}s + {reserve:.0f}s reserve")
         return None
+    t0 = time.perf_counter()
     try:
-        return fn()
+        out = fn()
+        log(f"[done] {name}: {time.perf_counter() - t0:.1f}s ({left():.0f}s left)")
+        return out
+    except AssertionError as e:
+        FAILED.append(name)
+        log(f"[FAIL] {name}: correctness assertion after "
+            f"{time.perf_counter() - t0:.1f}s: {str(e)[:300]}")
+        return None
     except Exception as e:  # noqa: BLE001 -- extras must not kill the JSON line
-        log(f"[fail] {name}: {type(e).__name__}: {str(e)[:200]}")
+        log(f"[fail] {name}: {type(e).__name__}: {str(e)[:200]} "
+            f"({time.perf_counter() - t0:.1f}s)")
         return None
 
 
 def main() -> None:
     sys.path.insert(0, ".")
-    from sea_codec_tpu.utils.cache import enable_compilation_cache
+    from sea_codec_tpu.utils.cache import (
+        cache_dir,
+        cache_entries,
+        enable_compilation_cache,
+    )
 
-    enable_compilation_cache()  # warm reruns skip the multi-minute compiles
+    n_cache0 = cache_entries()
+    enable_compilation_cache()
+    log(f"compilation cache: {cache_dir()} ({n_cache0} entries)")
+
     import jax
     import jax.numpy as jnp
 
@@ -76,285 +105,282 @@ def main() -> None:
         parse_full_chunks,
         split_chunks,
     )
+    from sea_codec_tpu.native.binding import available as native_available
+    from sea_codec_tpu.native.binding import native_decode, native_encode
     from sea_codec_tpu.ops import tables
     from sea_codec_tpu.ops.device_decode import (
+        batch_max_code_bits,
         decode_chunks_packed,
         default_use_pallas,
     )
-    from sea_codec_tpu.utils.signal import TEST_SAMPLE_RATE, audio_quality, gen_test_signal
+    from sea_codec_tpu.utils.signal import (
+        TEST_SAMPLE_RATE,
+        audio_quality,
+        varied_signal,
+    )
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform}); budget {BUDGET:.0f}s")
 
     channels = 2
-    n_chunks = 128  # encoded corpus; decode measures on a tiled multiple
-    decode_mult = 768  # 98304 chunks / 1007M samples per decode call
-    # (the relay adds ~30 ms fixed dispatch+probe cost per call; the batch
-    # size amortizes it -- with the int16 dequant stream the sweep measured
-    # 3881/4858/4998 Msps at mult 192/512/768, and the halved dq footprint
-    # makes 768 comfortable in HBM)
     fpc = 5120
-    frames = n_chunks * fpc
     settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=fpc)
     use_pallas = default_use_pallas()
+    rng = np.random.default_rng(7)
 
-    log(f"generating {frames} frames x {channels}ch ...")
-    samples = gen_test_signal(channels, frames)[: frames * channels]
-    n_samples = samples.shape[0]
-
-    # ---- encode once (bytes feed the decode stages + quality check) ----
-    log("warming up encoder (compiles the full corpus shape) ...")
-    encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)
-    log("encoding ...")
-    t0 = time.perf_counter()
-    encoded = encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)
-    t_enc = time.perf_counter() - t0
-    enc_msps = n_samples / t_enc / 1e6
-    ratio = 2 * n_samples / len(encoded)
-    log(f"encode: {t_enc:.2f}s = {enc_msps:.2f} Msamples/s, ratio {ratio:.2f}x")
-
-    # ---- device decode (HEADLINE): execution forced by a tiny probe.
-    # The chunk batch is tiled to amortize the relay's per-call latency over
-    # a corpus-sized batch (every chunk still decodes independently).
-    header, rect, _tail = split_chunks(encoded)
-    batch = parse_full_chunks(rect, header)
-    dqt_flat = jnp.asarray(
-        tables.dqt_stacked(batch.scale_factor_bits).reshape(-1), jnp.int32
-    )
-    # tile ON DEVICE: uploading the host-tiled batch is ~200 MB over a
-    # tunnel whose throughput varies 10x run to run; the base batch is <1 MB
     def device_tile(a, reps):
+        # tile ON DEVICE: the base batch is <10 MB while the tiled batch
+        # would be hundreds of MB over a tunnel whose throughput varies 10x
         return jax.block_until_ready(
             jax.jit(lambda x: jnp.tile(x, reps))(jnp.asarray(a))
         )
 
+    def parsed_concat(blobs):
+        """Concatenate the full-chunk batches of same-config files."""
+        header = None
+        fields: list[tuple] = []
+        for enc in blobs:
+            h, rect, _tail = split_chunks(enc)
+            if rect is None:
+                continue
+            b = parse_full_chunks(rect, h)
+            header = header or h
+            fields.append((b.res_bytes, b.sf, b.rs, b.hist, b.wts, b))
+        parts = list(zip(*fields))
+        cat = [np.concatenate(p, axis=0) for p in parts[:5]]
+        return header, parts[5][0], cat  # header, a ParsedBatch for config, arrays
+
+    def timed_device(fn, probe, reps):
+        probe(fn())  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            probe(fn())  # tiny probe forces execution
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # ================= D1: device decode (HEADLINE), runs FIRST =============
+    # Bytes come from the native C++ encoder (16 distinct varied-content
+    # files), so the headline never depends on the encoder compile.
+    assert native_available(), "native codec unavailable"
+    t0 = time.perf_counter()
+    d1_files = [varied_signal(channels, 8 * fpc, seed=1000 + i) for i in range(16)]
+    d1_blobs = [
+        native_encode(f, TEST_SAMPLE_RATE, channels, frames_per_chunk=fpc)
+        for f in d1_files
+    ]
+    log(f"native encode of 16 varied base files: {time.perf_counter() - t0:.1f}s")
+    _hdr, cfg, cat = parsed_concat(d1_blobs)  # 128 diverse chunks
+    dqt_flat = jnp.asarray(tables.dqt_stacked(cfg.scale_factor_bits).reshape(-1), jnp.int32)
+    decode_mult = 768  # 98304 chunks / 1007M samples per decode call
+    # (relay adds ~30 ms fixed dispatch+probe cost per call; the batch size
+    # amortizes it -- the r2 sweep measured 3881/4858/4998 Msps at mult
+    # 192/512/768 and the int16 dq stream keeps 768 comfortable in HBM)
     args = tuple(
-        device_tile(a, (decode_mult,) + (1,) * (a.ndim - 1))
-        for a in (batch.res_bytes, batch.sf, batch.rs, batch.hist, batch.wts)
+        device_tile(a, (decode_mult,) + (1,) * (a.ndim - 1)) for a in cat
     )
-    n_dec_samples = n_samples * decode_mult
+    n_dec_samples = cat[0].shape[0] * decode_mult * fpc * channels
 
     def dev_decode():
         return decode_chunks_packed(
-            *args,
-            dqt_flat,
-            scale_factor_frames=batch.scale_factor_frames,
+            *args, dqt_flat,
+            scale_factor_frames=cfg.scale_factor_frames,
             frames=fpc,
-            residual_size=batch.residual_size,
+            residual_size=cfg.residual_size,
             use_pallas=use_pallas,
         )
 
-    _ = np.asarray(dev_decode()[0, 0, 0])  # compile + warm
-    ts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        _ = np.asarray(dev_decode()[0, 0, 0])  # tiny probe forces execution
-        ts.append(time.perf_counter() - t0)
-    t_dev = min(ts)
+    t_dev = timed_device(dev_decode, lambda o: np.asarray(o[0, 0, 0]), reps=10)
     dev_msps = n_dec_samples / t_dev / 1e6
-    log(f"decode device (pallas={use_pallas}): {t_dev * 1e3:.1f} ms = {dev_msps:.1f} Msamples/s")
-    del args  # release the tiled decode batch before the extras
+    log(f"decode device (pallas={use_pallas}, {cat[0].shape[0]} diverse chunks "
+        f"x{decode_mult}): {t_dev * 1e3:.1f} ms = {dev_msps:.1f} Msamples/s")
+    del args  # release the tiled batch before the encode stages
 
-    # ---- correctness + quality ----
-    decoded = decode_sea(encoded)
-    assert decoded.samples.shape[0] == n_samples
-    rms, psnr = audio_quality(samples, np.asarray(decoded.samples))
-    log(f"psnr: {psnr:.1f} dB")
+    # correctness anchor: device decode of file 0 == native scalar decode
+    def x_headline_check():
+        h0, rect0, _ = split_chunks(d1_blobs[0])
+        b0 = parse_full_chunks(rect0, h0)
+        out = decode_chunks_packed(
+            jnp.asarray(b0.res_bytes), jnp.asarray(b0.sf), jnp.asarray(b0.rs),
+            jnp.asarray(b0.hist), jnp.asarray(b0.wts), dqt_flat,
+            scale_factor_frames=b0.scale_factor_frames, frames=fpc,
+            residual_size=b0.residual_size, use_pallas=use_pallas,
+        )
+        got = np.asarray(out).reshape(-1)
+        want, _r, _c = native_decode(d1_blobs[0])
+        assert np.array_equal(got, want), "device decode != native decode"
+        return True
 
-    # ---- extras (each budget-guarded; None when skipped/failed) ----
+    headline_ok = stage("headline_check", 15, x_headline_check)
 
-    def x_corpus_encode():
-        corpus_files = [samples[: 16 * fpc * channels]] * 256
-        encode_corpus(corpus_files[:64], TEST_SAMPLE_RATE, channels, settings)
-        encode_corpus(corpus_files, TEST_SAMPLE_RATE, channels, settings)
-        t0 = time.perf_counter()
-        corpus_out = encode_corpus(corpus_files, TEST_SAMPLE_RATE, channels, settings)
-        t = time.perf_counter() - t0
-        assert corpus_out[0] == corpus_out[255]
-        msps = sum(f.shape[0] for f in corpus_files) / t / 1e6
-        log(f"corpus encode e2e (256 stereo files): {t:.2f}s = {msps:.1f} Msamples/s")
-        return msps
+    # ============ D2: VBR device decode (native VBR bytes, diverse) =========
+    def x_vbr_decode():
+        stv_bits = 2.5
+        files_v = [varied_signal(channels, 8 * fpc, seed=2000 + i) for i in range(8)]
+        blobs_v = [
+            native_encode(f, TEST_SAMPLE_RATE, channels, residual_bits=stv_bits,
+                          frames_per_chunk=fpc, vbr=True)
+            for f in files_v
+        ]
+        _hv, cfg_v, cat_v = parsed_concat(blobs_v)  # 64 diverse VBR chunks
+        dqt_v = jnp.asarray(
+            tables.dqt_stacked(cfg_v.scale_factor_bits).reshape(-1), jnp.int32
+        )
+        mult_v = 768  # 49152 chunks / 503M samples per call
+        args_v = tuple(
+            device_tile(a, (mult_v,) + (1,) * (a.ndim - 1)) for a in cat_v
+        )
+        n_v = cat_v[0].shape[0] * mult_v * fpc * channels
+        mcb = batch_max_code_bits(cat_v[2], cfg_v.residual_size)
 
-    corpus_msps = stage("corpus_encode", 120, x_corpus_encode)
-
-    def x_device_encode():
-        from sea_codec_tpu.ops import lms as lms_ops
-        from sea_codec_tpu.ops.encode_file import encode_corpus_cbr_packed_blocks
-
-        nb, nfb, ncb = 4, 64, 16
-        bb = nfb * channels
-        one_file = samples[: ncb * fpc * channels].reshape(ncb, fpc, channels)
-        frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
-        tail_idx = np.full((nb, nfb), ncb, np.int32)
-        h0 = np.broadcast_to(np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
-        w0 = np.broadcast_to(np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
-        p0 = np.zeros((nb, bb), np.int32)
-        # tile the ~80 MB lane block on device from the ~300 KB base file
-        xdev_d = device_tile(one_file[None], (nb, 1, 1, nfb))
-
-        def dev_encode():
-            return encode_corpus_cbr_packed_blocks(
-                xdev_d, frames_lane, tail_idx, h0, w0, p0,
-                scale_factor_frames=settings.scale_factor_frames,
-                scale_factor_bits=settings.scale_factor_bits,
-                residual_size=3,
-                n_files=nfb,
-                use_pallas=use_pallas,
+        def dev_decode_v():
+            return decode_chunks_packed(
+                *args_v, dqt_v,
+                scale_factor_frames=cfg_v.scale_factor_frames, frames=fpc,
+                residual_size=cfg_v.residual_size, use_pallas=use_pallas,
+                max_code_bits=mcb,
             )
 
-        _ = np.asarray(dev_encode()[0][0, 0, 0])
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            _ = np.asarray(dev_encode()[0][0, 0, 0])
-            ts.append(time.perf_counter() - t0)
-        n_enc_dev = nb * nfb * ncb * fpc * channels
-        msps = n_enc_dev / min(ts) / 1e6
-        log(
-            f"corpus encode device-resident ({nb * nfb} files): "
-            f"{min(ts) * 1e3:.0f} ms = {msps:.1f} Msamples/s"
-        )
+        t = timed_device(dev_decode_v, lambda o: np.asarray(o[0, 0, 0]), reps=6)
+        msps = n_v / t / 1e6
+        log(f"VBR decode device (64 diverse chunks x{mult_v}, max_code_bits="
+            f"{mcb}): {t * 1e3:.1f} ms = {msps:.1f} Msamples/s")
         return msps
 
-    enc_dev_msps = stage("device_encode", 90, x_device_encode)
+    vbr_dec_msps = stage("vbr_decode_device", 60, x_vbr_decode, reserve=30)
 
-    # ---- BASELINE acceptance config: 1,000-file corpus encode + decode ----
+    # =============== E: encode-side metrics, most-wanted first ==============
+    # Corpus files are varied in content (distinct seeds) AND length (ragged
+    # tails, uniform in (7, 8] chunks so every 256-file device super-call
+    # compiles the same (4, 8, fpc, 128) block shape exactly once).
+    def corpus_lengths(n, seed):
+        r = np.random.default_rng(seed)
+        return r.integers(7 * fpc + 1, 8 * fpc + 1, size=n)
+
+    def make_corpus(n, seed0):
+        lens = corpus_lengths(n, seed0)
+        return [
+            varied_signal(channels, int(l), seed=seed0 + i)
+            for i, l in enumerate(lens)
+        ]
+
+    def corpus_check(files, blobs, name):
+        """Spot-check a corpus encode against the independent native decoder."""
+        for i in rng.choice(len(blobs), 2, replace=False):
+            got, rate, ch = native_decode(blobs[i])
+            assert ch == channels and rate == TEST_SAMPLE_RATE
+            assert got.shape[0] == files[i].shape[0], f"{name}: length mismatch"
+            _rms, psnr = audio_quality(files[i], got)
+            assert psnr < -20.0, f"{name}: psnr {psnr:.1f} dB"
+
+    corpus256 = make_corpus(256, seed0=0)
+    n_corpus256 = sum(f.shape[0] for f in corpus256)
+
+    e1_out: list = []
+
+    def x_corpus_encode():
+        encode_corpus(corpus256[:64], TEST_SAMPLE_RATE, channels, settings)
+        encode_corpus(corpus256, TEST_SAMPLE_RATE, channels, settings)
+        t0 = time.perf_counter()
+        blobs = encode_corpus(corpus256, TEST_SAMPLE_RATE, channels, settings)
+        t = time.perf_counter() - t0
+        corpus_check(corpus256, blobs, "corpus256")
+        e1_out.extend(blobs)
+        msps = n_corpus256 / t / 1e6
+        log(f"corpus encode e2e (256 varied stereo files, ragged): "
+            f"{t:.2f}s = {msps:.1f} Msamples/s")
+        return msps
+
+    corpus_msps = stage("corpus_encode", 90, x_corpus_encode, reserve=140)
+
     def x_corpus1k():
-        nc1k = 8
-        corpus1k = [samples[: nc1k * fpc * channels]] * 1000
+        corpus1k = corpus256 + make_corpus(744, seed0=10000)
         n_1k = sum(f.shape[0] for f in corpus1k)
-        encode_corpus(corpus1k[:512], TEST_SAMPLE_RATE, channels, settings)
         t0 = time.perf_counter()
         enc1k = encode_corpus(corpus1k, TEST_SAMPLE_RATE, channels, settings)
         t_enc1k = time.perf_counter() - t0
         enc_msps_1k = n_1k / t_enc1k / 1e6
-        log(f"corpus encode e2e (1000 stereo files, {n_1k/1e6:.0f} Msamples): "
-            f"{t_enc1k:.2f}s = {enc_msps_1k:.1f} Msamples/s")
-        if left() < 90:
+        log(f"corpus encode e2e (1000 varied stereo files, {n_1k / 1e6:.0f} "
+            f"Msamples): {t_enc1k:.2f}s = {enc_msps_1k:.1f} Msamples/s")
+        if left() < 60 + 140:
             return enc_msps_1k, None
-        decode_corpus(enc1k[:300])
         t0 = time.perf_counter()
         dec1k = decode_corpus(enc1k)
         t_dec1k = time.perf_counter() - t0
         dec_msps_1k = n_1k / t_dec1k / 1e6
-        assert all(d is not None and d.samples.shape[0] == n_1k // 1000 for d in dec1k)
-        np.testing.assert_array_equal(np.asarray(dec1k[0].samples),
-                                      np.asarray(dec1k[999].samples))
+        assert all(
+            d is not None and d.samples.shape[0] == f.shape[0]
+            for d, f in zip(dec1k, corpus1k)
+        )
+        i = int(rng.integers(1000))
+        want, _r, _c = native_decode(enc1k[i])
+        assert np.array_equal(np.asarray(dec1k[i].samples), want), \
+            "corpus decode != native decode"
         log(f"corpus decode e2e (1000 files, incl. full PCM fetch): "
             f"{t_dec1k:.2f}s = {dec_msps_1k:.1f} Msamples/s")
         return enc_msps_1k, dec_msps_1k
 
-    r1k = stage("corpus1000", 150, x_corpus1k) or (None, None)
+    r1k = stage("corpus1000", 100, x_corpus1k, reserve=140) or (None, None)
     enc1k_msps, dec1k_msps = r1k
 
-    # ---- remaining BASELINE acceptance configs (compact shapes) ----
-    from sea_codec_tpu import sea_decode, sea_encode
+    def x_device_encode():
+        # device-resident corpus encode: the EXACT program encode_corpus
+        # compiled above ((4, 8, fpc, 128) lane blocks incl. on-device
+        # serialization), with inputs staged once and timed across reps
+        from sea_codec_tpu.ops import lms as lms_ops
+        from sea_codec_tpu.ops.encode_file import encode_corpus_cbr_packed_blocks
 
-    def x_mono():
-        mono = gen_test_signal(1, 16 * fpc)[: 16 * fpc]
-        sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)
-        t0 = time.perf_counter()
-        enc_m = sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)
-        dec_m = sea_decode(enc_m)
-        t = time.perf_counter() - t0
-        assert dec_m.samples.shape[0] == mono.shape[0]
-        log(f"mono CBR-3 round trip (81920 frames, single file): {t*1e3:.0f} ms")
-        return t * 1e3
+        nb, nfb, ncb = 4, 64, 8
+        bb = nfb * channels
+        one_file = varied_signal(channels, ncb * fpc, seed=31337)
+        frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
+        tail_idx = np.full((nb, nfb), ncb, np.int32)
+        h0 = np.broadcast_to(
+            np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
+        w0 = np.broadcast_to(
+            np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
+        p0 = np.zeros((nb, bb), np.int32)
+        xdev = device_tile(
+            one_file.reshape(ncb, fpc, channels)[None], (nb, 1, 1, nfb))
 
-    t_mono_ms = stage("mono_roundtrip", 60, x_mono)
+        def dev_encode():
+            return encode_corpus_cbr_packed_blocks(
+                xdev, frames_lane, tail_idx, h0, w0, p0,
+                scale_factor_frames=settings.scale_factor_frames,
+                scale_factor_bits=settings.scale_factor_bits,
+                residual_size=3, n_files=nfb, use_pallas=use_pallas,
+            )
 
-    def x_8ch():
-        st8 = EncoderSettings(
-            residual_bits=3.0, frames_per_chunk=1000, metadata="title=bench\nartist=sea\n"
-        )
-        eight = gen_test_signal(8, 8 * 1000)[: 8 * 1000 * 8]
-        sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
-        t0 = time.perf_counter()
-        enc_8 = sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
-        dec_8 = sea_decode(enc_8)
-        t = time.perf_counter() - t0
-        assert dec_8.channels == 8 and dec_8.samples.shape[0] == eight.shape[0]
-        log(f"8-channel + metadata round trip (8000 frames, single file): {t*1e3:.0f} ms")
-        return t * 1e3
+        t = timed_device(dev_encode, lambda o: np.asarray(o[0][0, 0, 0]), reps=5)
+        n_enc_dev = nb * nfb * ncb * fpc * channels
+        msps = n_enc_dev / t / 1e6
+        log(f"corpus encode device-resident ({nb * nfb} files): "
+            f"{t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
+        return msps
 
-    t_8_ms = stage("8ch_roundtrip", 60, x_8ch)
+    enc_dev_msps = stage("device_encode", 45, x_device_encode, reserve=130)
 
-    vbr_bytes_cell: list = []
+    vbr_blobs: list = []
+    stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
 
     def x_vbr():
-        stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
-        vbr_files = [samples[: 8 * fpc * channels]] * 64
+        vbr_files = make_corpus(64, seed0=50000)
         n_vbr = sum(f.shape[0] for f in vbr_files)
         encode_corpus(vbr_files, TEST_SAMPLE_RATE, channels, stv)
         t0 = time.perf_counter()
-        vbr_out = encode_corpus(vbr_files, TEST_SAMPLE_RATE, channels, stv)
+        blobs = encode_corpus(vbr_files, TEST_SAMPLE_RATE, channels, stv)
         t = time.perf_counter() - t0
-        assert vbr_out[0] == vbr_out[63]
-        vbr_bytes_cell.append(vbr_out[0])
+        corpus_check(vbr_files, blobs, "vbr_corpus")
+        vbr_blobs.extend(blobs)
         msps = n_vbr / t / 1e6
-        log(f"VBR corpus encode (64 stereo files): {t:.2f}s = {msps:.1f} Msamples/s")
+        log(f"VBR corpus encode (64 varied stereo files): {t:.2f}s = {msps:.1f} Msamples/s")
         return msps
 
-    vbr_msps = stage("vbr_corpus", 90, x_vbr)
-
-    def x_vbr_decode():
-        # device VBR decode on the same tiled-batch methodology as the
-        # headline (windowed group-gather unpack; see ops/device_decode.py)
-        if not vbr_bytes_cell:
-            log("[skip] vbr_decode_device: no VBR bytes (vbr_corpus skipped)")
-            return None
-        enc_v = vbr_bytes_cell[0]  # 8 chunks x 5120 frames x 2ch
-        hdr_v, rect_v, _ = split_chunks(enc_v)
-        bv = parse_full_chunks(rect_v, hdr_v)
-        dqt_v = jnp.asarray(tables.dqt_stacked(bv.scale_factor_bits).reshape(-1), jnp.int32)
-        mult_v = 6144  # 49152 chunks / 503M samples per call (int16 dq
-        # sweep: 1891/1952 Msps at 24k/49k chunks, scripts/perf_decode_quick)
-        args_v = tuple(
-            device_tile(a, (mult_v,) + (1,) * (a.ndim - 1))
-            for a in (bv.res_bytes, bv.sf, bv.rs, bv.hist, bv.wts)
-        )
-        n_v = bv.res_bytes.shape[0] * mult_v * fpc * channels
-
-        def dev_decode_v():
-            from sea_codec_tpu.ops.device_decode import batch_max_code_bits as _max_code_bits
-
-            return decode_chunks_packed(
-                *args_v,
-                dqt_v,
-                scale_factor_frames=bv.scale_factor_frames,
-                frames=fpc,
-                residual_size=bv.residual_size,
-                use_pallas=use_pallas,
-                max_code_bits=_max_code_bits(bv.rs, bv.residual_size),
-            )
-
-        _ = np.asarray(dev_decode_v()[0, 0, 0])
-        ts_v = []
-        for _ in range(6):
-            t0 = time.perf_counter()
-            _ = np.asarray(dev_decode_v()[0, 0, 0])
-            ts_v.append(time.perf_counter() - t0)
-        msps = n_v / min(ts_v) / 1e6
-        log(f"VBR decode device: {min(ts_v)*1e3:.1f} ms = {msps:.1f} Msamples/s")
-        return msps
-
-    vbr_dec_msps = stage("vbr_decode_device", 90, x_vbr_decode)
-
-    def x_e2e_decode():
-        reps = 3
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            decode_sea(encoded)
-        t = (time.perf_counter() - t0) / reps
-        msps = n_samples / t / 1e6
-        log(f"decode end-to-end (incl. tunnel PCM fetch): {t * 1e3:.1f} ms = {msps:.1f} Msamples/s")
-        return msps
-
-    e2e_msps = stage("e2e_decode", 45, x_e2e_decode)
+    vbr_msps = stage("vbr_corpus", 80, x_vbr, reserve=110)
 
     def x_device_encode_vbr():
-        # device-resident VBR corpus encode (the e2e number is relay-bound;
-        # this measures the fused two-pass search + ranking program itself)
+        # device-resident VBR corpus encode (fused two-pass search + on-device
+        # per-file error ranking; same program shape as x_vbr's super-calls)
         from sea_codec_tpu.models.vbr import (
             interpolate_distribution,
             normalized_vbr_bitrate,
@@ -363,49 +389,167 @@ def main() -> None:
         from sea_codec_tpu.ops import lms as lms_ops
         from sea_codec_tpu.ops.encode_file import encode_corpus_vbr_nv_blocks
 
-        nb, nfb, ncb = 4, 64, 16
+        nb, nfb, ncb = 4, 64, 8
         bb = nfb * channels
         sff, sfb = settings.scale_factor_frames, settings.scale_factor_bits
         target = normalized_vbr_bitrate(np.float32(2.5), fpc, sfb, sff)
         base = vbr_base(target)
         sortable = (fpc * channels) // sff
         m1, _t, p1, p2 = interpolate_distribution(sortable, target)
-        one_file = samples[: ncb * fpc * channels].reshape(ncb, fpc, channels)
+        one_file = varied_signal(channels, ncb * fpc, seed=31338)
         frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
-        h0 = np.broadcast_to(np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
-        w0 = np.broadcast_to(np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
+        h0 = np.broadcast_to(
+            np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
+        w0 = np.broadcast_to(
+            np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
         p0 = np.zeros((nb, bb), np.int32)
-        xdev_d = device_tile(one_file[None], (nb, 1, 1, nfb))
+        xdev = device_tile(
+            one_file.reshape(ncb, fpc, channels)[None], (nb, 1, 1, nfb))
 
         def dev_encode_v():
             return encode_corpus_vbr_nv_blocks(
-                xdev_d, frames_lane, h0, w0, p0,
-                scale_factor_frames=sff,
-                scale_factor_bits=sfb,
-                base=base,
-                dist=(m1, p1, p2),
-                n_files=nfb,
+                xdev, frames_lane, h0, w0, p0,
+                scale_factor_frames=sff, scale_factor_bits=sfb,
+                base=base, dist=(m1, p1, p2), n_files=nfb,
                 use_pallas=use_pallas,
             )
 
-        probe = lambda out: np.asarray(
-            (leaf := jax.tree_util.tree_leaves(out)[0])[(0,) * leaf.ndim]
-        )
-        probe(dev_encode_v())
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            probe(dev_encode_v())
-            ts.append(time.perf_counter() - t0)
+        def probe(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return np.asarray(leaf[(0,) * leaf.ndim])
+
+        t = timed_device(dev_encode_v, probe, reps=5)
         n_enc_dev = nb * nfb * ncb * fpc * channels
-        msps = n_enc_dev / min(ts) / 1e6
-        log(
-            f"VBR corpus encode device-resident ({nb * nfb} files): "
-            f"{min(ts) * 1e3:.0f} ms = {msps:.1f} Msamples/s"
-        )
+        msps = n_enc_dev / t / 1e6
+        log(f"VBR corpus encode device-resident ({nb * nfb} files): "
+            f"{t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
         return msps
 
-    vbr_enc_dev_msps = stage("device_encode_vbr", 120, x_device_encode_vbr)
+    vbr_enc_dev_msps = stage("device_encode_vbr", 45, x_device_encode_vbr, reserve=100)
+
+    def x_mono():
+        mono = varied_signal(1, 16 * fpc, seed=60000)
+        sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)
+        t0 = time.perf_counter()
+        enc_m = sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)
+        dec_m = sea_decode(enc_m)
+        t = time.perf_counter() - t0
+        assert dec_m.samples.shape[0] == mono.shape[0]
+        assert np.array_equal(np.asarray(dec_m.samples), native_decode(enc_m)[0])
+        log(f"mono CBR-3 round trip (81920 frames, single file): {t * 1e3:.0f} ms")
+        return t * 1e3
+
+    from sea_codec_tpu import sea_decode, sea_encode
+
+    t_mono_ms = stage("mono_roundtrip", 40, x_mono, reserve=90)
+
+    def x_8ch():
+        st8 = EncoderSettings(
+            residual_bits=3.0, frames_per_chunk=1000,
+            metadata="title=bench\nartist=sea\n",
+        )
+        eight = varied_signal(8, 8 * 1000, seed=60001)
+        sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
+        t0 = time.perf_counter()
+        enc_8 = sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
+        dec_8 = sea_decode(enc_8)
+        t = time.perf_counter() - t0
+        assert dec_8.channels == 8 and dec_8.samples.shape[0] == eight.shape[0]
+        log(f"8-channel + metadata round trip (8000 frames, single file): {t * 1e3:.0f} ms")
+        return t * 1e3
+
+    t_8_ms = stage("8ch_roundtrip", 40, x_8ch, reserve=70)
+
+    # single-file encode e2e (tunnel-bound; also feeds the e2e decode stages)
+    samples_1 = varied_signal(channels, 128 * fpc, seed=777)
+    n_samples = samples_1.shape[0]
+    enc_cell: list = []
+
+    def x_encode_file():
+        encode_sea(samples_1, TEST_SAMPLE_RATE, channels, settings)
+        t0 = time.perf_counter()
+        encoded = encode_sea(samples_1, TEST_SAMPLE_RATE, channels, settings)
+        t = time.perf_counter() - t0
+        enc_cell.append(encoded)
+        msps = n_samples / t / 1e6
+        ratio = 2 * n_samples / len(encoded)
+        log(f"encode e2e (single 128-chunk stereo file): {t:.2f}s = "
+            f"{msps:.2f} Msamples/s, ratio {ratio:.2f}x")
+        return msps, ratio
+
+    r_enc = stage("encode_file", 40, x_encode_file, reserve=55) or (None, None)
+    enc_msps, ratio = r_enc
+    if not enc_cell:
+        # encoder skipped: native bytes keep the e2e decode stages honest
+        enc_cell.append(
+            native_encode(samples_1, TEST_SAMPLE_RATE, channels, frames_per_chunk=fpc))
+        ratio = ratio or round(2 * n_samples / len(enc_cell[0]), 2)
+
+    # ================= D3/D4: end-to-end decode + quality ===================
+    psnr_cell: list = []
+
+    def x_e2e_decode():
+        encoded = enc_cell[0]
+        decode_sea(encoded)
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            decoded = decode_sea(encoded)
+        t = (time.perf_counter() - t0) / reps
+        assert decoded.samples.shape[0] == n_samples
+        _rms, psnr = audio_quality(samples_1, np.asarray(decoded.samples))
+        psnr_cell.append(psnr)
+        msps = n_samples / t / 1e6
+        log(f"decode end-to-end (incl. tunnel PCM fetch): {t * 1e3:.1f} ms = "
+            f"{msps:.1f} Msamples/s; psnr {psnr:.1f} dB")
+        return msps
+
+    e2e_msps = stage("e2e_decode", 30, x_e2e_decode, reserve=25)
+
+    def x_device_consumer():
+        # production-shaped e2e: bytes -> device decode -> downstream device
+        # consumer (PSNR vs the device-resident original), host fetch = one
+        # scalar. Msps within ~2x of the headline shows the decode output
+        # feeds device compute without a host round trip.
+        encoded = enc_cell[0]
+        hdr_c, rect_c, _ = split_chunks(encoded)
+        bc = parse_full_chunks(rect_c, hdr_c)
+        mult_c = 96  # 12288 chunks / 126M samples
+        args_c = tuple(
+            device_tile(a, (mult_c,) + (1,) * (a.ndim - 1))
+            for a in (bc.res_bytes, bc.sf, bc.rs, bc.hist, bc.wts)
+        )
+        nc_base = bc.res_bytes.shape[0]
+        orig = device_tile(
+            samples_1.reshape(nc_base, fpc, channels)[: nc_base], (mult_c, 1, 1))
+        n_c = nc_base * mult_c * fpc * channels
+
+        @jax.jit
+        def consume(res, sf, rs, hist, wts, orig):
+            pcm = decode_chunks_packed(
+                res, sf, rs, hist, wts, dqt_flat,
+                scale_factor_frames=bc.scale_factor_frames, frames=fpc,
+                residual_size=bc.residual_size, use_pallas=use_pallas,
+            )
+            d = (pcm.astype(jnp.float32) - orig.astype(jnp.float32)) / 32767.0
+            rms = jnp.sqrt(jnp.mean(d * d))
+            return -20.0 * jnp.log10(2.0 / rms)
+
+        fn = lambda: consume(*args_c, orig)
+        t = timed_device(fn, lambda o: float(o), reps=6)
+        psnr_dev = float(fn())
+        assert -60.0 < psnr_dev < -10.0, f"device-consumer psnr {psnr_dev}"
+        msps = n_c / t / 1e6
+        log(f"e2e device consumer (decode + on-device PSNR, no PCM fetch): "
+            f"{t * 1e3:.1f} ms = {msps:.1f} Msamples/s; device psnr "
+            f"{psnr_dev:.1f} dB")
+        return msps
+
+    consumer_msps = stage("e2e_device_consumer", 25, x_device_consumer)
+
+    psnr = psnr_cell[0] if psnr_cell else None
+    n_cache1 = cache_entries()
+    log(f"compilation cache: {n_cache1} entries ({n_cache1 - n_cache0:+d} this run)")
 
     baseline_per_chip = 500.0 / 8.0  # BASELINE.json: 500 Msamples/s on v5e-8
     rnd = lambda x, k=2: None if x is None else round(x, k)
@@ -417,7 +561,8 @@ def main() -> None:
                 "unit": "Msamples/s",
                 "vs_baseline": round(dev_msps / baseline_per_chip, 3),
                 "end_to_end_decode_Msps": rnd(e2e_msps),
-                "encode_Msps": round(enc_msps, 2),
+                "e2e_device_consumer_Msps": rnd(consumer_msps),
+                "encode_Msps": rnd(enc_msps),
                 "corpus_encode_Msps": rnd(corpus_msps),
                 "corpus_encode_device_Msps": rnd(enc_dev_msps),
                 "corpus1000_encode_Msps": rnd(enc1k_msps),
@@ -427,9 +572,11 @@ def main() -> None:
                 "vbr_corpus_encode_Msps": rnd(vbr_msps),
                 "vbr_decode_device_Msps": rnd(vbr_dec_msps),
                 "vbr_encode_device_Msps": rnd(vbr_enc_dev_msps),
-                "compression_ratio": round(ratio, 2),
-                "psnr_db": round(psnr, 1),
-                "n_samples": n_samples, "n_decode_samples": n_dec_samples,
+                "compression_ratio": rnd(ratio),
+                "psnr_db": rnd(psnr, 1),
+                "decode_vs_native_ok": bool(headline_ok),
+                "failed_stages": FAILED,
+                "n_decode_samples": n_dec_samples,
                 "pallas": bool(use_pallas),
                 "platform": dev.platform,
             }

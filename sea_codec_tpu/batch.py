@@ -34,6 +34,7 @@ from .models.decoder import DecoderModel
 from .ops import bitpack, tables
 from .ops.device_decode import (
     batch_max_code_bits as _max_code_bits,
+    decode_chunks,
     decode_chunks_packed,
     default_use_pallas,
 )
@@ -196,7 +197,7 @@ def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
         remaining = total_frames - n_full * fpc if total_frames > 0 else None
         chunk = SeaChunk.from_bytes(tail, header, remaining)
         model = DecoderModel(c, chunk.scale_factor_bits)
-        parts.append(model.decode_chunk(chunk))
+        parts.append(model.decode_chunk(chunk, frames_padded=fpc))
 
     samples = (
         np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
@@ -806,7 +807,7 @@ def decode_range(encoded: bytes, start_frame: int, n_frames: int) -> np.ndarray:
         remaining = total - n_rect * fpc if total > 0 else None
         chunk = SeaChunk.from_bytes(tail, header, remaining)
         model = DecoderModel(c, chunk.scale_factor_bits)
-        parts.append(model.decode_chunk(chunk).reshape(-1, c))
+        parts.append(model.decode_chunk(chunk, frames_padded=fpc).reshape(-1, c))
     pcm = np.concatenate(parts) if parts else np.zeros((0, c), np.int16)
     off = start_frame - k0 * fpc
     return pcm[off : off + n_frames].reshape(-1)
@@ -852,7 +853,7 @@ def decode_corpus(
     for fi, item in enumerate(staged):
         if item is None:
             continue
-        header, batch, frames_real, tail_part, fpc = item
+        header, batch, frames_real, _tail_chunk, fpc = item
         if batch is None:
             continue
         key = (
@@ -941,12 +942,14 @@ def decode_corpus(
             pcm_parts[fi].append(pcm[pos : pos + cnt])
             pos += cnt
 
+    tail_pcm = _decode_tails_batched(staged, device_batch)
+
     results: list[SeaDecodeInfo | None] = []
     for fi, item in enumerate(staged):
         if item is None:
             results.append(None)
             continue
-        header, batch, frames_real, tail_part, fpc = item
+        header, batch, frames_real, tail_chunk, fpc = item
         parts = []
         if batch is not None:
             pcm = pcm_parts[fi][0]
@@ -956,8 +959,8 @@ def decode_corpus(
             else:
                 parts.append(pcm[:-1].reshape(-1))
                 parts.append(pcm[-1, : frames_real[n - 1]].reshape(-1))
-        if tail_part is not None:
-            parts.append(tail_part)
+        if tail_chunk is not None:
+            parts.append(tail_pcm[fi])
         samples = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
         c = header.channels
         if header.total_frames > 0 and samples.shape[0] < header.total_frames * c:
@@ -975,10 +978,72 @@ def decode_corpus(
     return results
 
 
+def _decode_tails_batched(staged, device_batch: int) -> dict[int, np.ndarray]:
+    """Batch-decode every staged file's ragged tail chunk.
+
+    Tails sharing a config pad to one ``[N, fpc, C]`` shape (mirroring
+    ``DecoderModel.decode_chunk(frames_padded=...)``) and decode together --
+    per-tail device calls would cost a relay round trip *per file* and, with
+    varied tail lengths, one XLA compile per distinct length. ``N`` pads to
+    the next power of two so corpora of different sizes share programs."""
+    groups: dict[tuple, list[tuple[int, SeaChunk]]] = {}
+    for fi, item in enumerate(staged):
+        if item is None:
+            continue
+        header, _b, _fr, chunk, fpc = item
+        if chunk is None:
+            continue
+        key = (fpc, header.channels, chunk.scale_factor_frames, chunk.scale_factor_bits)
+        groups.setdefault(key, []).append((fi, chunk))
+    out: dict[int, np.ndarray] = {}
+    for (fpc, c, sff, sfb), members in groups.items():
+        dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32)
+        wp = -(-fpc // sff)
+        n = len(members)
+        codes = np.zeros((n, fpc, c), np.uint8)
+        sf = np.zeros((n, wp, c), np.uint8)
+        rs = np.ones((n, wp, c), np.uint8)
+        hist = np.zeros((n, c, 4), np.int32)
+        wts = np.zeros((n, c, 4), np.int32)
+        for j, (_fi, ch) in enumerate(members):
+            f = ch.frames_in_chunk
+            w = -(-f // sff)
+            codes[j, :f] = ch.residuals.reshape(f, c)
+            sf[j, :w] = ch.scale_factors.reshape(w, c)
+            if ch.chunk_type == CHUNK_TYPE_VBR:
+                rs[j, :w] = ch.vbr_residual_sizes.reshape(w, c)
+            else:
+                rs[j, :] = ch.residual_size
+            hist[j] = ch.lms_history
+            wts[j] = ch.lms_weights
+        outs = []
+        for s0 in range(0, n, device_batch):
+            e0 = min(s0 + device_batch, n)
+            n_real = e0 - s0
+            np2 = 1 << (n_real - 1).bit_length()
+            pad = np2 - n_real
+            args = (codes[s0:e0], sf[s0:e0], rs[s0:e0], hist[s0:e0], wts[s0:e0])
+            if pad:
+                args = tuple(
+                    np.concatenate([a, np.repeat(a[:1], pad, axis=0)]) for a in args
+                )
+            pcm = decode_chunks(
+                *(jnp.asarray(a) for a in args),
+                dqt_flat,
+                scale_factor_frames=sff,
+            )
+            outs.append(pcm[:n_real] if pad else pcm)
+        pcm = np.concatenate([np.asarray(o) for o in outs])
+        for j, (fi, ch) in enumerate(members):
+            out[fi] = pcm[j].reshape(-1)[: ch.frames_in_chunk * c]
+    return out
+
+
 def _stage_file_parsed(encoded: bytes):
     """Host-side parse of one corpus file: (header, ParsedBatch|None,
-    frames_real, tail PCM|None, fpc). The ragged tail decodes immediately
-    (its own small device call); full chunks join the shared group batches."""
+    frames_real, tail SeaChunk|None, fpc). Tail chunks are only parsed here;
+    ``decode_corpus`` batch-decodes every file's tail in one shared device
+    call (per config) alongside the full-chunk group batches."""
     header, rect, tail = split_chunks(encoded)
     fpc = header.frames_per_chunk
     batch = None
@@ -992,16 +1057,14 @@ def _stage_file_parsed(encoded: bytes):
                 frames_real,
                 header.total_frames - np.arange(n, dtype=np.int64) * fpc,
             )
-    tail_part = None
+    tail_chunk = None
     if tail:
         n_full = rect.shape[0] if rect is not None else 0
         remaining = (
             header.total_frames - n_full * fpc if header.total_frames > 0 else None
         )
-        chunk = SeaChunk.from_bytes(tail, header, remaining)
-        model = DecoderModel(header.channels, chunk.scale_factor_bits)
-        tail_part = model.decode_chunk(chunk)
-    return (header, batch, frames_real, tail_part, fpc)
+        tail_chunk = SeaChunk.from_bytes(tail, header, remaining)
+    return (header, batch, frames_real, tail_chunk, fpc)
 
 
 # Backwards-compatible helper used by the parallel tests: parsed arrays with

@@ -38,7 +38,9 @@ class SeaDecoder:
         if self._model is None:
             # Lazily sized from the first chunk (reference file.rs:194-199).
             self._model = DecoderModel(self.header.channels, chunk.scale_factor_bits)
-        samples = self._model.decode_chunk(chunk)
+        samples = self._model.decode_chunk(
+            chunk, frames_padded=self.header.frames_per_chunk
+        )
         self.frames_read += samples.shape[0] // self.header.channels
         self.writer.write(samples.astype("<i2").tobytes())
         return True

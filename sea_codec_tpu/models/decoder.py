@@ -24,8 +24,16 @@ class DecoderModel:
             tables.dqt_stacked(scale_factor_bits).reshape(-1), dtype=jnp.int32
         )
 
-    def decode_chunk(self, chunk: SeaChunk) -> np.ndarray:
-        """Decode one chunk -> int16[frames * channels] interleaved."""
+    def decode_chunk(self, chunk: SeaChunk, frames_padded: int | None = None) -> np.ndarray:
+        """Decode one chunk -> int16[frames * channels] interleaved.
+
+        ``frames_padded`` fixes the compiled shape (mirroring the encoder
+        model's ``n_windows_padded``): a ragged tail chunk decodes through
+        the same program as any other tail of its stream instead of
+        compiling one program per distinct tail length -- a varied-length
+        corpus would otherwise trigger hundreds of device compiles. Padding
+        windows decode garbage that is sliced away (the recurrence runs
+        forward, so the real frames are unaffected)."""
         if chunk.scale_factor_bits != self.scale_factor_bits:
             raise SeaInvalidFrame(
                 "chunk scale_factor_bits "
@@ -33,13 +41,19 @@ class DecoderModel:
             )
         c = self.channels
         f = chunk.frames_in_chunk
-        w = -(-f // chunk.scale_factor_frames)
-        codes = chunk.residuals.reshape(1, f, c)
-        sf = chunk.scale_factors.reshape(1, w, c)
+        sff = chunk.scale_factor_frames
+        w = -(-f // sff)
+        fp = max(frames_padded or f, f)
+        wp = -(-fp // sff)
+        codes = np.zeros((1, fp, c), np.uint8)
+        codes[0, :f] = chunk.residuals.reshape(f, c)
+        sf = np.zeros((1, wp, c), np.uint8)
+        sf[0, :w] = chunk.scale_factors.reshape(w, c)
+        rs = np.ones((1, wp, c), np.uint8)
         if chunk.chunk_type == CHUNK_TYPE_VBR:
-            rs = chunk.vbr_residual_sizes.reshape(1, w, c)
+            rs[0, :w] = chunk.vbr_residual_sizes.reshape(w, c)
         else:
-            rs = np.full((1, w, c), chunk.residual_size, dtype=np.uint8)
+            rs[:] = chunk.residual_size
         out = decode_chunks(
             jnp.asarray(codes),
             jnp.asarray(sf),
@@ -47,6 +61,6 @@ class DecoderModel:
             jnp.asarray(chunk.lms_history.reshape(1, c, 4)),
             jnp.asarray(chunk.lms_weights.reshape(1, c, 4)),
             self.dqt_flat,
-            scale_factor_frames=chunk.scale_factor_frames,
+            scale_factor_frames=sff,
         )
-        return np.asarray(out).reshape(f * c)
+        return np.asarray(out).reshape(fp * c)[: f * c]

@@ -64,7 +64,7 @@ def _dequant_window_constants(
     # mixed residual sizes (VBR): combined select over (rs, sf) for sfval,
     # 8-entry chains for the rs-only tables
     idx = rs_w * s + sf_w
-    if 9 * s > 512:  # sfb 7..8 (API-only): the chain would out-cost the gather
+    if 9 * s > 512:  # sfb 6..8 (9*64=576): the chain would out-cost the gather
         sfval = jnp.asarray(sfval_t.reshape(-1))[idx]
     else:
         sfval = _select_chain(idx, sfval_t.reshape(-1), jnp.float32)

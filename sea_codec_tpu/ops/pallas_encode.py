@@ -130,10 +130,17 @@ def _sea_div(v, recip):
     return n + (jnp.sign(v) - jnp.sign(n))
 
 
-def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int):
+def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = True):
     """Build the window-search kernel: S candidates x L lanes, ``wb`` windows
     per grid step (a fori_loop inside the kernel -- per-window grid steps
-    would pay block-switch overhead ~50x the window's compute)."""
+    would pay block-switch overhead ~50x the window's compute).
+
+    The per-sample recurrence is unrolled by default. ``unroll=False``
+    (env ``SEA_ENCODE_ROLLED=1``) wraps it in a ``fori_loop`` instead --
+    ~20x fewer Mosaic statements -- but did not reduce compile time in this
+    environment (compilation runs on a shared remote service whose load
+    varies 4x; see IMPLEMENTATION_NOTES.md), so the proven unrolled form
+    stays the default."""
 
     def kernel(
         state_ref,  # i32[9, S, L]: h0..3, w0..3, prev_sf (broadcast over S)
@@ -163,10 +170,13 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int):
             h_s[:] = state_ref[0:4]
             w_s[:] = state_ref[4:8]
             p_s[:] = state_ref[8:9]
+            if sffp > sff:
+                # padding code rows are read by the rolled path's vectorized
+                # selection; zero them once (never written afterwards)
+                q_s[sff:] = jnp.zeros((sffp - sff, s, l), jnp.int32)
 
         def window_body(wi, carry):
             h0, h1, h2, h3, w0, w1, w2, w3, prev_sf = carry
-            smp_w = samples_ref[wi]  # [SFFP, L]
             sfval = sfval_ref[wi]  # [S, L] f32
             recip = recip_ref[wi]  # [S, L] i32
             rci = rci_ref[wi]  # [2, L]
@@ -178,13 +188,11 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int):
             stepfloor = rcf[1:2, :]
             endval = rcf[2:3, :]
 
-            rank_hi = jnp.zeros((s, l), jnp.int32)
-            rank_lo = jnp.zeros((s, l), jnp.int32)
             is_rs2 = climit == jnp.int32(4)
             two_m = climit << one
 
-            for t in range(sff):
-                smp = smp_w[t : t + 1, :]  # [1, L]
+            def sample_step(t, smp, sc):
+                h0, h1, h2, h3, w0, w1, w2, w3, rank_hi, rank_lo = sc
                 pred = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> jnp.int32(13)
                 residual = smp - pred
                 scaled = _sea_div(residual, recip)
@@ -225,6 +233,33 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int):
                 h1 = jnp.where(valid, h2, h1)
                 h2 = jnp.where(valid, h3, h2)
                 h3 = jnp.where(valid, recon, h3)
+                return (h0, h1, h2, h3, w0, w1, w2, w3, rank_hi, rank_lo)
+
+            smp_w = samples_ref[wi]  # [SFFP, L]
+            sc0 = (
+                h0, h1, h2, h3, w0, w1, w2, w3,
+                jnp.zeros((s, l), jnp.int32), jnp.zeros((s, l), jnp.int32),
+            )
+            if unroll:
+                sc = sc0
+                for t in range(sff):
+                    sc = sample_step(t, smp_w[t : t + 1, :], sc)
+            else:
+                # the current sample is always row 0 of a rotating register
+                # copy of the window: a static sublane rotate per step keeps
+                # every index static (dynamic sublane slicing is a Mosaic
+                # worst case -- it sent compile time past 500 s)
+                def step(t, c):
+                    smp_rot = c[-1]
+                    sc = sample_step(t, smp_rot[0:1, :], c[:-1])
+                    return sc + (
+                        jnp.concatenate([smp_rot[1:], smp_rot[:1]], axis=0),
+                    )
+
+                sc = jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(sff), step, sc0 + (smp_w,)
+                )[:-1]
+            h0, h1, h2, h3, w0, w1, w2, w3, rank_hi, rank_lo = sc
 
             # lexicographic argmin over (rank_hi, rank_lo, rotated index);
             # first-minimum-in-rotated-order == the reference's
@@ -249,9 +284,16 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int):
             best_sf = select(sub)  # [1, L]
             sf_ref[wi] = best_sf
             ranks_ref[wi] = jnp.concatenate([select(rank_hi), select(rank_lo)], axis=0)
-            rows = [select(q_s[t]) for t in range(sff)]
-            rows += [jnp.zeros((1, l), jnp.int32)] * (sffp - sff)
-            codes_ref[wi] = jnp.concatenate(rows, axis=0)
+            if unroll:
+                rows = [select(q_s[t]) for t in range(sff)]
+                rows += [jnp.zeros((1, l), jnp.int32)] * (sffp - sff)
+                codes_ref[wi] = jnp.concatenate(rows, axis=0)
+            else:
+                codes_ref[wi] = jnp.sum(
+                    jnp.where(winner[None], q_s[:], zero),
+                    axis=1,
+                    dtype=jnp.int32,
+                )
 
             # winning candidate's state broadcasts to all candidates for the
             # next window (encoder_base.rs:112,119: every candidate restarts
@@ -409,7 +451,11 @@ def run_window_search(
     smp = jnp.zeros((wp, sffp, l), jnp.int32)
     smp = smp.at[:wc, :sff, :c].set(samples.reshape(wc, sff, c))
 
-    kernel = _make_kernel(s, l, sff, sffp, wb)
+    import os
+
+    kernel = _make_kernel(
+        s, l, sff, sffp, wb, unroll=os.environ.get("SEA_ENCODE_ROLLED") != "1"
+    )
     zi = lambda w: w * 0
     out_shapes = (
         jax.ShapeDtypeStruct((wp, sffp, l), jnp.int32),  # codes

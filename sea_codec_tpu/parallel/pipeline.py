@@ -33,6 +33,24 @@ from ..ops.device_decode import decode_chunks_fn
 from ..ops.device_encode import encode_windows_fn
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    """``jax.shard_map`` with replication checking off, working on both the
+    stable API (jax>=0.7, ``check_vma``) and the older experimental one
+    (``check_rep``)."""
+    try:
+        from jax import shard_map
+
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as shard_map_exp
+
+        return shard_map_exp(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
+
+
 def make_mesh(
     n_devices: int | None = None, axis_names=("files", "chunks"), devices=None
 ) -> Mesh:
@@ -159,8 +177,6 @@ def _corpus_cbr_blocks_sharded(
     mesh, samples, frames, tail_idx, hist0, wts0, prev0,
     sff, sfb, residual_size, n_files, use_pallas,
 ):
-    from jax import shard_map
-
     from ..ops.encode_file import _corpus_cbr_packed_core
 
     spec = P(tuple(mesh.axis_names))
@@ -178,13 +194,7 @@ def _corpus_cbr_blocks_sharded(
 
         return jax.lax.map(one, (smp, fr, ti, h, w, pv))
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec,) * 6,
-        out_specs=(spec,) * 8,
-        check_vma=False,
-    )
+    fn = _shard_map(local, mesh, in_specs=(spec,) * 6, out_specs=(spec,) * 8)
     return fn(samples, frames, tail_idx, hist0, wts0, prev0)
 
 
@@ -196,8 +206,6 @@ def _corpus_vbr_blocks_sharded(
     mesh, samples, frames, hist0, wts0, prev0,
     sff, sfb, base, dist, n_files, use_pallas,
 ):
-    from jax import shard_map
-
     from ..ops.encode_file import _corpus_vbr_nv_core
 
     spec = P(tuple(mesh.axis_names))
@@ -216,13 +224,7 @@ def _corpus_vbr_blocks_sharded(
 
         return jax.lax.map(one, (smp, fr, h, w, pv))
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec,) * 5,
-        out_specs=(spec,) * 8,
-        check_vma=False,
-    )
+    fn = _shard_map(local, mesh, in_specs=(spec,) * 5, out_specs=(spec,) * 8)
     return fn(samples, frames, hist0, wts0, prev0)
 
 

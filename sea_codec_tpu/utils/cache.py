@@ -5,8 +5,16 @@ scan) takes minutes to compile on a TPU backend; the decode/corpus programs
 add more. Enabling JAX's persistent compilation cache makes every rerun of
 the CLI / bench / tests start from warm binaries instead of recompiling.
 
-Opt-out with ``SEA_JAX_CACHE=0``; override the location with
-``SEA_JAX_CACHE=<dir>``.
+Cache directory resolution, in order:
+
+1. ``SEA_JAX_CACHE=<dir>`` -- explicit override (``0`` disables).
+2. A repo-local ``.jax_cache`` directory next to the package, if present --
+   the repo ships one pre-populated with the bench/CLI TPU programs so a
+   fresh host's first run starts warm. Skipped when ``JAX_PLATFORMS`` forces
+   a CPU backend (tests), so CPU entries don't pollute the shipped cache.
+3. ``~/.cache/sea_codec_tpu/jax``.
+
+Opt-out with ``SEA_JAX_CACHE=0``.
 """
 
 from __future__ import annotations
@@ -14,28 +22,55 @@ from __future__ import annotations
 import os
 
 _DEFAULT_DIR = os.path.expanduser("~/.cache/sea_codec_tpu/jax")
-_enabled = False
+_REPO_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache",
+)
+_enabled: str | None = None
+
+
+def cache_dir() -> str | None:
+    """The directory ``enable_compilation_cache`` will use (or used), or
+    None when caching is disabled."""
+    if _enabled is not None:
+        return _enabled
+    setting = os.environ.get("SEA_JAX_CACHE", "")
+    if setting == "0":
+        return None
+    if setting not in ("", "1"):
+        return setting
+    if os.path.isdir(_REPO_DIR) and "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+        return _REPO_DIR
+    return _DEFAULT_DIR
+
+
+def cache_entries() -> int:
+    """Number of entries currently in the cache directory (0 if absent)."""
+    d = cache_dir()
+    try:
+        return len([f for f in os.listdir(d) if f.endswith("-cache")]) if d else 0
+    except OSError:
+        return 0
 
 
 def enable_compilation_cache() -> bool:
     """Idempotently enable the persistent compilation cache. Returns whether
     the cache is active."""
     global _enabled
-    if _enabled:
+    if _enabled is not None:
         return True
-    setting = os.environ.get("SEA_JAX_CACHE", "")
-    if setting == "0":
+    target = cache_dir()
+    if target is None:
         return False
-    cache_dir = setting if setting not in ("", "1") else _DEFAULT_DIR
     try:
         import jax
 
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        os.makedirs(target, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", target)
         # cache everything, however small or fast to compile
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        _enabled = True
+        _enabled = target
         return True
     except Exception:
         return False

@@ -55,6 +55,31 @@ def gen_test_signal(channels: int, samples: int) -> np.ndarray:
     return (np.clip(multi, -1.0, 1.0) * 32767.0).astype(np.int16)
 
 
+def varied_signal(channels: int, frames: int, seed: int) -> np.ndarray:
+    """int16 interleaved signal with seed-dependent content: a random layered
+    mix of sines/squares (random regions, frequencies, gains) plus a low
+    noise floor. Used for bench corpora, where per-file content diversity
+    matters (identical files would make VBR size distributions, parse costs
+    and group batching unrealistically homogeneous); tests keep
+    ``gen_test_signal`` for reference parity."""
+    rng = np.random.default_rng(seed)
+    mono = np.zeros(frames, dtype=np.float32)
+    for _ in range(int(rng.integers(3, 8))):
+        a, b = np.sort(rng.uniform(0.0, 1.0, 2))
+        if b - a < 0.05:
+            b = min(1.0, a + 0.05)
+        region = _chunk(mono, float(a), float(b))
+        freq = float(rng.uniform(60.0, 15000.0))
+        gain = float(rng.uniform(0.1, 0.8))
+        if rng.random() < 0.5:
+            _write_sine_wave(region, gain, freq)
+        else:
+            _write_square_wave(region, gain, freq)
+    mono += rng.normal(0.0, float(rng.uniform(0.001, 0.02)), frames).astype(np.float32)
+    multi = _mono_to_multi(mono, channels)[: frames * channels]
+    return (np.clip(multi, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
 def audio_quality(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
     """(rms, psnr) between two int16 signals (helpers.rs:101-116)."""
     assert a.shape == b.shape
