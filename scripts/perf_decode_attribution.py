@@ -1,7 +1,6 @@
 """Production-accurate CBR decode stage attribution.
 
-perf_decode_stages{,2}.py predate the select-chain dequant and int16
-streams; this version times the EXACT production pieces (mirrors
+Times the EXACT production pieces (mirrors
 decode_chunks_fn's CBR path) so deltas correspond to the shipped program.
 Relay adds ~30 ms fixed dispatch per number: compare deltas.
 """

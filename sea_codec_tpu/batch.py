@@ -489,11 +489,12 @@ def encode_corpus(
     from .ops.device_decode import default_use_pallas
 
     use_pallas = default_use_pallas()
-    if (
-        (not use_pallas and mesh is None)
-        or channels > 128
-        or settings.scale_factor_bits > 7
-    ):
+    if channels > 128 or settings.scale_factor_bits > 7:
+        # >128 channels exceeds one lane block; sfb=8 exceeds the Pallas
+        # kernel's VMEM budget -- these API-edge configs go file-at-a-time.
+        # Everything else rides the lane-packed path: on CPU the same
+        # program runs with the XLA window kernel (use_pallas=False), so a
+        # CPU user gets corpus batching too.
         return [encode_sea(f, sample_rate, channels, settings) for f in files]
 
     import jax
