@@ -451,6 +451,102 @@ def encode_sea(
     return header.serialize() + b"".join(chunks)
 
 
+def _encode_tails_vbr_batched(
+    jobs, c, sfb, sff, fpc, residual_bits, use_pallas
+) -> list[bytes]:
+    """Encode many files' ragged VBR tail chunks in two lane-packed device
+    calls per bucket (analyze + encode) instead of two per file.
+
+    VBR size selection is data-dependent per tail (the sortable window count
+    and the distribution depend on the tail's own length, reference
+    ``encoder_vbr.rs:98-137``), so the fused corpus scan's static
+    distribution cannot cover tails; instead pass-1 ranks come back to the
+    host, the exact per-chunk chooser runs per tail, and pass 2 re-encodes
+    with the assigned sizes. Bit-identical to the per-file model path, which
+    cost two relay round trips per file. Lane buckets are fixed at
+    128/256/512 so corpora of any size share compiled shapes.
+
+    ``jobs``: list of (tail_samples int16[], hist int32[C,4], wts int32[C,4],
+    prev int32[C]) seeded with the fused scan's carry. Returns serialized
+    chunk bytes, in job order.
+    """
+    if not jobs:
+        return []
+    from .models.common import EncoderKernel
+    from .models.vbr import VbrEncoderModel, vbr_base
+
+    params = VbrEncoderModel(
+        channels=c,
+        scale_factor_bits=sfb,
+        scale_factor_frames=sff,
+        residual_bits=residual_bits,
+        frames_per_chunk=fpc,
+    )
+    base = vbr_base(params.vbr_target_bitrate)
+    wp = params.windows_per_chunk
+    kernel = EncoderKernel(c, sfb, sff, use_pallas=use_pallas)
+    out: list[bytes] = []
+    max_jobs = max(1, 512 // c)
+    for g0 in range(0, len(jobs), max_jobs):
+        sub = jobs[g0 : g0 + max_jobs]
+        lanes_n = len(sub) * c
+        lane_w = 128
+        while lane_w < lanes_n:
+            lane_w *= 2
+        x = np.zeros((wp * sff, lane_w), np.int32)
+        nv = np.zeros((wp, lane_w), np.int32)
+        rs1 = np.ones((wp, lane_w), np.int32)
+        h0 = np.zeros((lane_w, 4), np.int32)
+        w0 = np.zeros((lane_w, 4), np.int32)
+        p0 = np.zeros((lane_w,), np.int32)
+        fr_list = []
+        for j, (samp, fh, fw, fp) in enumerate(sub):
+            f = samp.shape[0] // c
+            fr_list.append(f)
+            sl = slice(j * c, (j + 1) * c)
+            x[:f, sl] = np.asarray(samp).reshape(f, c).astype(np.int32)
+            nv[:, sl] = np.clip(
+                f - np.arange(wp, dtype=np.int32) * sff, 0, sff
+            )[:, None]
+            rs1[:, sl] = base + 1
+            h0[sl], w0[sl], p0[sl] = fh, fw, fp
+        # pass 1: analyze at base+1; LMS restored, prev_sf kept
+        # (encoder_vbr.rs:139-171)
+        _sf1, _c1, ranks, _h1, _w1, p1 = kernel.run_lanes(x, rs1, nv, h0, w0, p0)
+        rs2 = np.ones((wp, lane_w), np.int32)
+        sizes_list = []
+        for j, f in enumerate(fr_list):
+            w_real = -(-f // sff)
+            sl = slice(j * c, (j + 1) * c)
+            sizes = params._choose_residual_sizes(
+                f * c, ranks[:w_real, sl].reshape(-1)
+            )
+            sizes_list.append(sizes)
+            rs2[:w_real, sl] = sizes.reshape(w_real, c).astype(np.int32)
+        sf2, codes2, _r2, _h2, _w2, _p2 = kernel.run_lanes(x, rs2, nv, h0, w0, p1)
+        for j, ((samp, fh, fw, fp), f, sizes) in enumerate(
+            zip(sub, fr_list, sizes_list)
+        ):
+            w_real = -(-f // sff)
+            sl = slice(j * c, (j + 1) * c)
+            out.append(
+                SeaChunk(
+                    channels=c,
+                    frames_in_chunk=f,
+                    chunk_type=CHUNK_TYPE_VBR,
+                    scale_factor_bits=sfb,
+                    scale_factor_frames=sff,
+                    residual_size=params.chunk_residual_size,
+                    lms_history=fh,
+                    lms_weights=fw,
+                    scale_factors=sf2[:w_real, sl].reshape(-1).astype(np.uint8),
+                    vbr_residual_sizes=sizes,
+                    residuals=codes2[:f, sl].reshape(-1).astype(np.uint8),
+                ).serialize()
+            )
+    return out
+
+
 def encode_corpus(
     files: list[np.ndarray],
     sample_rate: int,
@@ -548,38 +644,6 @@ def encode_corpus(
             residuals=codes_t[:fk].reshape(-1),
         ).serialize()
 
-    def tail_chunk_vbr(j, group, fr, fhist, fwts, fprev, lanes) -> bytes:
-        # tail size-selection counts are data-dependent: run the per-chunk
-        # model seeded with the fused scan's carry
-        from .models import VbrEncoderModel
-
-        k = fr // fpc
-        fk = fr - k * fpc
-        model = VbrEncoderModel(
-            channels=c,
-            scale_factor_bits=sfb,
-            scale_factor_frames=sff,
-            residual_bits=settings.residual_bits,
-            frames_per_chunk=fpc,
-        )
-        model.state.hist = fhist[lanes].astype(np.int32)
-        model.state.wts = fwts[lanes].astype(np.int32)
-        model.state.prev_sf = fprev[lanes].astype(np.int32)
-        eh, ew = model.lms_snapshot
-        enc = model.encode(group[j][k * fpc * c : fr * c])
-        return SeaChunk(
-            channels=c,
-            frames_in_chunk=fk,
-            chunk_type=CHUNK_TYPE_VBR,
-            scale_factor_bits=sfb,
-            scale_factor_frames=sff,
-            residual_size=residual_size,
-            lms_history=eh,
-            lms_weights=ew,
-            scale_factors=enc.scale_factors,
-            vbr_residual_sizes=enc.residual_bits,
-            residuals=enc.residuals,
-        ).serialize()
 
     def assemble_cbr(entry) -> None:
         metas, fut = entry
@@ -610,6 +674,29 @@ def encode_corpus(
     def assemble_vbr(entry) -> None:
         metas, fut = entry
         sf, codes, sizes, ehist, ewts, fhist, fwts, fprev = fut.result()
+        # batch-encode every ragged tail in this super-call: two lane-packed
+        # device calls per <=512-lane bucket instead of two per file
+        jobs, job_files = [], []
+        for bi, (idxs, group, frames) in enumerate(metas):
+            for j, (i, fr) in enumerate(zip(idxs, frames)):
+                if fr % fpc:
+                    lanes = slice(j * c, (j + 1) * c)
+                    k = fr // fpc
+                    jobs.append((
+                        group[j][k * fpc * c : fr * c],
+                        fhist[bi][lanes].astype(np.int32),
+                        fwts[bi][lanes].astype(np.int32),
+                        fprev[bi][lanes].astype(np.int32),
+                    ))
+                    job_files.append(i)
+        tail_chunks = dict(
+            zip(
+                job_files,
+                _encode_tails_vbr_batched(
+                    jobs, c, sfb, sff, fpc, settings.residual_bits, use_pallas
+                ),
+            )
+        )
         for bi, (idxs, group, frames) in enumerate(metas):
             for j, (i, fr) in enumerate(zip(idxs, frames)):
                 lanes = slice(j * c, (j + 1) * c)
@@ -629,11 +716,7 @@ def encode_corpus(
                     )
                     chunks.extend(bytes(row) for row in rect)
                 if fr % fpc:
-                    chunks.append(
-                        tail_chunk_vbr(
-                            j, group, fr, fhist[bi], fwts[bi], fprev[bi], lanes
-                        )
-                    )
+                    chunks.append(tail_chunks[i])
                 if chunks:
                     _check_chunk_size(len(chunks[0]))
                     header.chunk_size = len(chunks[0])

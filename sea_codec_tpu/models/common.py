@@ -146,3 +146,42 @@ class EncoderKernel:
         codes = np.asarray(codes)[:frames]  # [frames, C]
         ranks = np.asarray(ranks)[:w_real]  # [W_real, C]
         return sf, codes, ranks
+
+    def run_lanes(self, x, rs, n_valid, hist0, wts0, prev0):
+        """Lane-packed window search: many independent streams in one call.
+
+        ``x`` int32[Wp*sff, L], ``rs``/``n_valid`` int32[Wp, L] (per-lane
+        window lengths; padding lanes/windows fully masked at 0),
+        ``hist0``/``wts0`` int32[L, 4], ``prev0`` int32[L]. Returns
+        (sf, codes, ranks, hist, wts, prev) as numpy arrays, unsliced.
+        The Pallas kernel supports up to 512 lanes per call."""
+        sff = self.scale_factor_frames
+        if self.use_pallas:
+            from ..ops.pallas_encode import encode_windows_pallas
+
+            out = encode_windows_pallas(
+                jnp.asarray(x),
+                jnp.asarray(rs),
+                jnp.asarray(n_valid),
+                jnp.asarray(hist0),
+                jnp.asarray(wts0),
+                jnp.asarray(prev0),
+                scale_factor_frames=sff,
+                scale_factor_bits=self.scale_factor_bits,
+            )
+        else:
+            out = encode_windows(
+                jnp.asarray(x),
+                jnp.asarray(rs),
+                jnp.asarray(n_valid),
+                jnp.asarray(hist0),
+                jnp.asarray(wts0),
+                jnp.asarray(prev0),
+                self.dqt_flat,
+                self.recip,
+                self.qtab,
+                self.qt_offsets,
+                scale_factor_frames=sff,
+                n_candidates=self.n_candidates,
+            )
+        return tuple(np.asarray(o) for o in out)
