@@ -150,13 +150,18 @@ def main() -> None:
         cat = [np.concatenate(p, axis=0) for p in parts[:5]]
         return header, parts[5][0], cat  # header, a ParsedBatch for config, arrays
 
-    def timed_device(fn, probe, reps):
+    def timed_device(fn, probe, reps, rep_budget_s=30.0):
+        t0 = time.perf_counter()
         probe(fn())  # compile + warm
+        log(f"  [warm+compile {time.perf_counter() - t0:.1f}s]")
         ts = []
+        t_loop = time.perf_counter()
         for _ in range(reps):
             t0 = time.perf_counter()
             probe(fn())  # tiny probe forces execution
             ts.append(time.perf_counter() - t0)
+            if time.perf_counter() - t_loop > rep_budget_s:
+                break  # relay stall: keep the reps we have, bound the damage
         return min(ts)
 
     # ================= D1: device decode (HEADLINE), runs FIRST =============
@@ -170,6 +175,7 @@ def main() -> None:
         for f in d1_files
     ]
     log(f"native encode of 16 varied base files: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
     _hdr, cfg, cat = parsed_concat(d1_blobs)  # 128 diverse chunks
     dqt_flat = jnp.asarray(tables.dqt_stacked(cfg.scale_factor_bits).reshape(-1), jnp.int32)
     decode_mult = 768  # 98304 chunks / 1007M samples per decode call
@@ -179,6 +185,7 @@ def main() -> None:
     args = tuple(
         device_tile(a, (decode_mult,) + (1,) * (a.ndim - 1)) for a in cat
     )
+    log(f"  [parse+upload+tile {time.perf_counter() - t0:.1f}s]")
     n_dec_samples = cat[0].shape[0] * decode_mult * fpc * channels
 
     def dev_decode():
@@ -342,7 +349,8 @@ def main() -> None:
         from sea_codec_tpu.ops import lms as lms_ops
         from sea_codec_tpu.ops.encode_file import encode_corpus_cbr_packed_blocks
 
-        nb, nfb, ncb = 4, 64, 8
+        nb, nfb, ncb = 4, 64, 16  # 134M samples per call: the fixed ~25 ms
+        # relay dispatch is <2% of the call, so this measures device rate
         bb = nfb * channels
         one_file = varied_signal(channels, ncb * fpc, seed=31337)
         frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
@@ -401,7 +409,7 @@ def main() -> None:
         from sea_codec_tpu.ops import lms as lms_ops
         from sea_codec_tpu.ops.encode_file import encode_corpus_vbr_nv_blocks
 
-        nb, nfb, ncb = 4, 64, 8
+        nb, nfb, ncb = 4, 64, 16
         bb = nfb * channels
         sff, sfb = settings.scale_factor_frames, settings.scale_factor_bits
         target = normalized_vbr_bitrate(np.float32(2.5), fpc, sfb, sff)
