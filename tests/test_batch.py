@@ -98,8 +98,9 @@ def test_decode_corpus_matches_single():
         np.testing.assert_array_equal(np.asarray(r.samples), e)
 
 
-def test_encode_corpus_cpu_fallback():
-    """On non-TPU backends encode_corpus falls back to per-file encoding."""
+def test_encode_corpus_lane_packed_on_cpu():
+    """The lane-packed corpus path runs on every backend (XLA window kernel
+    off-TPU) and stays byte-identical to per-file encoding."""
     from sea_codec_tpu.batch import encode_corpus
 
     files = [gen_test_signal(2, n)[: (gen_test_signal(2, n).shape[0] // 2) * 2] for n in (2500, 999)]
@@ -107,6 +108,31 @@ def test_encode_corpus_cpu_fallback():
     out = encode_corpus(files, TEST_SAMPLE_RATE, 2, settings)
     for f, enc in zip(files, out):
         assert enc == sea_encode(f, TEST_SAMPLE_RATE, 2, settings)
+
+
+@pytest.mark.parametrize("vbr", [False, True])
+def test_corpus_varied_lengths_ragged_tails(vbr):
+    """A corpus with many distinct lengths (sub-chunk files, ragged tails)
+    exercises the batched tail paths: VBR tail encodes pack into lane
+    buckets and corpus decode batch-decodes every tail in one shared call.
+    Everything must stay byte/sample-identical to the per-file engines."""
+    from sea_codec_tpu.batch import decode_corpus, encode_corpus
+    from sea_codec_tpu.utils.signal import varied_signal
+
+    rng = np.random.default_rng(11 + vbr)
+    settings = EncoderSettings(
+        frames_per_chunk=500, residual_bits=2.5 if vbr else 3.0, vbr=vbr
+    )
+    lens = [int(x) for x in rng.integers(120, 1600, size=14)] + [500, 1000, 77]
+    files = [varied_signal(2, n, seed=100 * vbr + i) for i, n in enumerate(lens)]
+    out = encode_corpus(files, TEST_SAMPLE_RATE, 2, settings)
+    for f, enc in zip(files, out):
+        assert enc == sea_encode(f, TEST_SAMPLE_RATE, 2, settings)
+    decs = decode_corpus(out)
+    for enc, dec in zip(out, decs):
+        np.testing.assert_array_equal(
+            np.asarray(dec.samples), np.asarray(sea_decode(enc).samples)
+        )
 
 
 @pytest.mark.parametrize(
