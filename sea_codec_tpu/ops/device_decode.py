@@ -497,8 +497,31 @@ def decode_chunks_packed_fn(
     matmul_fetch: bool | None = None,  # static: None = follow use_pallas
 ) -> jnp.ndarray:
     """Full device decode from packed residual bytes -> int16[N, frames, C]."""
+    import os
+
     n, w, c = sf_codes.shape
     count = frames * c
+    if (
+        residual_size
+        and use_pallas
+        and os.environ.get("SEA_FUSED_PROLOG") != "0"
+    ):
+        from .pallas_dequant import decode_chunks_packed_fused, fused_prolog_supported
+
+        if fused_prolog_supported(residual_size, frames, scale_factor_frames, c):
+            # one-pass Pallas prolog: unpack+dequant straight from the
+            # byte-transposed bitstream into the recurrence kernel's
+            # lane-major layout -- measured 2x the split XLA prolog
+            # (108 -> 54 ms on 503 Msamples, see ops/pallas_dequant.py)
+            sfb = int(np.log2(dqt_flat.shape[0] // (8 * 256)))
+            return decode_chunks_packed_fused(
+                res_bytes, sf_codes, hist0, wts0,
+                scale_factor_frames=scale_factor_frames,
+                frames=frames,
+                residual_size=residual_size,
+                sfb=sfb,
+                interpret=pallas_interpret,
+            )
     if residual_size:
         codes = unpack_const_strided(res_bytes, residual_size, count)
     else:

@@ -1,0 +1,245 @@
+"""Fused CBR unpack+dequant Pallas kernel (the decode prolog).
+
+The XLA prolog (constant-width unpack -> dequant -> lane transpose) moves
+~4-5 GB of HBM per 0.5 Gsample batch across materialized intermediates and
+measured 95 ms of the 108 ms device decode (scripts/perf_decode_attribution
+.py). This kernel computes the lane-major int16 dq stream straight from the
+byte-transposed bitstream in one pass, using only Mosaic-friendly
+primitives -- no gathers, no dynamic indexing:
+
+- **Layout**: bytes on sublanes, chunks on lanes (``resT32[j, n]`` = byte j
+  of chunk n, pre-transposed+widened by XLA in one fused pass). The output
+  rows are code-major (``i = frame*C + ch``), which reshapes *for free* to
+  the ``[F, C*Npad]`` lane-major form the LMS recurrence kernel consumes.
+- **16-bit windows everywhere at once**: ``w16 = (v << 8) | roll(v, -1)``
+  -- one sublane roll (the same static-rotate trick as the encode kernel's
+  sample loop) gives every byte's sliding window simultaneously.
+- **Static periodicity instead of indexing**: an rs-bit stream repeats
+  every 8 codes / rs bytes, so the code->window mapping is a reshape
+  ``[G, rs, N]`` + 8 static middle-dim picks + a stack -- a fixed shuffle
+  pattern, never a gather. Per-row shift amounts come from an iota.
+- **Scale factors by broadcast**: blocks cover whole scale-factor windows
+  (``m`` windows of ``sff*C`` codes each), so the per-(window, channel)
+  f32 scale factors expand by broadcast+reshape, not repeat-gathers.
+
+Bit-exact vs ops.device_decode.dequant_codes (same closed-form f32 curve
+math); tested against it in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import tables
+
+LANES = 512  # chunk lanes per block
+
+
+def _plan_blocks(w: int, sff: int, c: int, rs: int):
+    """(m windows per block, padded W) with integer bytes per block and
+    8-aligned output rows; block sizes bounded for VMEM."""
+    m0 = 8 // math.gcd(sff * c, 8)
+    while (m0 * sff * c * rs) % 8:
+        m0 *= 2
+    m = m0
+    # grow toward ~256-512 output rows per block while m divides (padded) W
+    while 2 * m * sff * c <= 512 and (m * 2 * sff * c * rs) // 8 <= 256:
+        m *= 2
+    wp = -(-w // m) * m
+    return m, wp
+
+
+def _make_dequant_kernel(rs: int, sff: int, c: int, m: int, sfb: int):
+    g8 = 8  # codes per byte-period
+    out_rows = m * sff * c
+    brows = out_rows * rs // 8
+    ng = brows // rs
+
+    # static per-(rs) dequant constants as PYTHON scalars (closed-form
+    # curve, dqt.rs:75-126); jnp scalars here would be captured constants
+    curve_t = tables._dqt_curve(rs)
+    c0_v = float(curve_t[0])
+    endv_v = float(curve_t[-1])
+    if rs >= 3:
+        start = np.float32(0.75)
+        end = np.float32((1 << rs) - 1)
+        steps = 1 << (rs - 1)
+        stepf_v = float(np.floor(np.float32(np.float32(end - start) / np.float32(steps - 1))))
+    else:
+        stepf_v = 0.0
+    kmax_v = (1 << (rs - 1)) - 1
+
+    def kernel(v_ref, sfv_ref, out_ref):
+        mask = jnp.int32((1 << rs) - 1)
+        c0 = jnp.float32(c0_v)
+        endv = jnp.float32(endv_v)
+        stepf = jnp.float32(stepf_v)
+        kmax = jnp.int32(kmax_v)
+        v = v_ref[...]  # [Brows, LANES] int32 bytes
+        w16 = (v << jnp.int32(8)) | jnp.concatenate([v[1:], v[:1]], axis=0)
+        wg = w16.reshape(ng, rs, LANES)
+        picks = [wg[:, (r * rs) // 8] for r in range(g8)]  # 8 x [G, LANES]
+        rep = jnp.stack(picks, axis=1).reshape(ng * g8, LANES)
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (out_rows, LANES), 0) & jnp.int32(7)
+        sh = jnp.int32(16 - rs) - ((r8 * jnp.int32(rs)) & jnp.int32(7))
+        q = jax.lax.shift_right_logical(rep, sh) & mask
+
+        sfv = sfv_ref[...]  # [m, C, LANES] f32
+        sfv_rep = jnp.broadcast_to(
+            sfv[:, None, :, :], (m, sff, c, LANES)
+        ).reshape(out_rows, LANES)
+
+        k = q >> jnp.int32(1)
+        curve = jnp.float32(0.5) + k.astype(jnp.float32) * stepf
+        curve = jnp.where(k == kmax, endv, curve)
+        curve = jnp.where(k == jnp.int32(0), c0, curve)
+        dq = jnp.floor(sfv_rep * curve + jnp.float32(0.5)).astype(jnp.int32)
+        dq = jnp.where((q & jnp.int32(1)) == jnp.int32(1), -dq, dq)
+        out_ref[...] = dq.astype(jnp.int16)
+
+    return kernel, brows, out_rows
+
+
+@partial(
+    jax.jit,
+    static_argnames=("rs", "sff", "c", "m", "sfb", "interpret"),
+)
+def unpack_dequant_cbr_lanes(
+    resT32: jnp.ndarray,  # int32[Bpad, Npad] byte-transposed residual bytes
+    sfvalT: jnp.ndarray,  # f32[Wpad, C, Npad] per-(window, channel) scale factors
+    rs: int,
+    sff: int,
+    c: int,
+    m: int,
+    sfb: int,
+    interpret: bool = False,
+) -> jnp.ndarray:  # int16[Wpad*sff*C, Npad] lane-major dq rows (code-major)
+    bpad, npad = resT32.shape
+    wp = sfvalT.shape[0]
+    kernel, brows, out_rows = _make_dequant_kernel(rs, sff, c, m, sfb)
+    assert bpad == (wp // m) * brows and npad % LANES == 0
+    grid = (wp // m, npad // LANES)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((wp * sff * c, npad), jnp.int16),
+        in_specs=[
+            pl.BlockSpec((brows, LANES), lambda rb, nb: (rb, nb), memory_space=pltpu.VMEM),
+            # rb * 0, not a literal 0: under jax_enable_x64 a Python 0 turns
+            # the index tuple i64, which Mosaic cannot legalize
+            pl.BlockSpec((m, c, LANES), lambda rb, nb: (rb, rb * 0, nb), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (out_rows, LANES), lambda rb, nb: (rb, nb), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(resT32, sfvalT)
+
+
+def fused_prolog_supported(residual_size: int, frames: int, sff: int, c: int) -> bool:
+    """CBR only, whole scale-factor windows only (block planning pads the
+    window count; ragged-window chunks fall back to the XLA prolog)."""
+    return residual_size > 0 and frames % sff == 0 and c >= 1
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames",
+        "frames",
+        "residual_size",
+        "sfb",
+        "interpret",
+    ),
+)
+def decode_chunks_packed_fused(
+    res_bytes: jnp.ndarray,  # uint8[N, B] packed residual section
+    sf_codes: jnp.ndarray,  # uint8[N, W, C]
+    hist0: jnp.ndarray,  # int32[N, C, 4]
+    wts0: jnp.ndarray,  # int32[N, C, 4]
+    scale_factor_frames: int,
+    frames: int,
+    residual_size: int,
+    sfb: int,
+    interpret: bool = False,
+) -> jnp.ndarray:  # int16[N, F, C]
+    """Full CBR device decode with the fused Pallas prolog.
+
+    bytes -> (XLA transpose+widen) -> fused unpack+dequant kernel ->
+    lane-major LMS recurrence kernel -> [N, F, C] PCM. The dq stream never
+    exists in chunk-major form and the uint8 code plane never exists at
+    all."""
+    from .device_decode import _dequant_window_constants
+    from .pallas_decode import LANE_BLOCK, decode_scan_pallas_lanes, lms_decode_lanes
+
+    n, w, c = sf_codes.shape
+    sff = scale_factor_frames
+    rs = residual_size
+    m, wp = _plan_blocks(w, sff, c, rs)
+    npad = -(-n // LANES) * LANES
+    btot = (wp // m) * ((m * sff * c * rs) // 8)
+
+    # byte-transpose + widen in one fused XLA pass; pad rows/lanes with zeros
+    resT32 = jnp.zeros((btot, npad), jnp.int32)
+    breal = min(res_bytes.shape[1], btot)
+    resT32 = resT32.at[:breal, :n].set(res_bytes[:, :breal].T.astype(jnp.int32))
+
+    # per-(window, channel) scale-factor values, transposed to [Wp, C, Npad]
+    sfval_win, _c0, _stepf, _endv, _kmax = _dequant_window_constants(
+        sf_codes.astype(jnp.int32), jnp.full((n, w, c), rs, jnp.int32), sfb, rs
+    )
+    sfvalT = jnp.zeros((wp, c, npad), jnp.float32)
+    sfvalT = sfvalT.at[:w, :, :n].set(jnp.transpose(sfval_win, (1, 2, 0)))
+
+    dq_rows = unpack_dequant_cbr_lanes(
+        resT32, sfvalT, rs=rs, sff=sff, c=c, m=m, sfb=sfb, interpret=interpret
+    )  # [Wp*sff*C, Npad] rows are code-major (frame-major, channel-minor)
+
+    fp = wp * sff
+    dq_l = dq_rows.reshape(fp, c * npad)  # lane = ch * Npad + n_chunk
+
+    # LMS state in the same channel-major lane order (padding lanes: zero
+    # state, decoded garbage sliced off below)
+    state = jnp.concatenate([hist0, wts0], axis=-1)  # [N, C, 8]
+    state_t = jnp.pad(
+        jnp.transpose(state, (1, 0, 2)), ((0, 0), (0, npad - n), (0, 0))
+    )  # [C, Npad, 8]
+    lms_l = state_t.reshape(c * npad, 8).T  # [8, C*Npad]
+
+    b = c * npad
+    s_sub = 32 if b > 2048 else 8
+    lane_block = s_sub * 128
+    b_pad = -(-b // lane_block) * lane_block
+    tb_max = 4096 // s_sub  # VMEM: tb * s_sub * 128 B in+out, double-buffered
+    tb = next((t for t in (512, 256, 128) if t <= tb_max and fp % t == 0), 0)
+    if tb == 0:
+        tb = min(128, tb_max)
+    f_pad = -(-fp // tb) * tb
+    if (f_pad, b_pad) != (fp, b):
+        dq_l = jnp.zeros((f_pad, b_pad), jnp.int16).at[:fp, :b].set(dq_l)
+        lms_l = jnp.zeros((8, b_pad), jnp.int32).at[:, :b].set(lms_l)
+    r = b_pad // 128
+    if interpret:
+        from .pallas_decode import _lms_decode_lanes_interpret
+
+        out = _lms_decode_lanes_interpret(
+            dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128),
+            time_block=tb, sublanes=s_sub,
+        )
+    else:
+        out = lms_decode_lanes(
+            dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128),
+            time_block=tb, sublanes=s_sub,
+        )
+    out = out.reshape(f_pad, b_pad)[:frames, : c * npad]
+    return out.reshape(frames, c, npad)[:, :, :n].transpose(2, 0, 1)

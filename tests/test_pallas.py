@@ -143,3 +143,55 @@ def test_select_chain_matches_gather():
         np.asarray(_select_chain(idx, table_i, jnp.int32)),
         table_i[np.asarray(idx)],
     )
+
+
+@pytest.mark.parametrize(
+    "n,fpc,c,sff,sfb,rs",
+    [
+        (3, 40, 2, 20, 4, 3),
+        (5, 100, 1, 20, 4, 1),
+        (2, 60, 3, 20, 5, 5),
+        (4, 40, 2, 5, 3, 8),
+        (1, 25, 2, 5, 4, 2),
+        (6, 35, 1, 5, 4, 7),
+        (4, 40, 8, 5, 4, 4),
+    ],
+)
+def test_fused_prolog_matches_split_path(n, fpc, c, sff, sfb, rs):
+    """The one-pass Pallas unpack+dequant prolog (ops/pallas_dequant.py) is
+    bit-identical to the split XLA prolog for every CBR config shape."""
+    from sea_codec_tpu.ops.bitpack import pack_bits
+    from sea_codec_tpu.ops.device_decode import decode_chunks_packed
+    from sea_codec_tpu.ops.pallas_dequant import (
+        decode_chunks_packed_fused,
+        fused_prolog_supported,
+    )
+
+    assert fused_prolog_supported(rs, fpc, sff, c)
+    rng = np.random.default_rng(n * 100 + rs)
+    w = fpc // sff
+    codes = rng.integers(0, 1 << rs, size=(n, fpc * c)).astype(np.uint32)
+    res_bytes = np.stack([pack_bits(row, rs) for row in codes])
+    sf = rng.integers(0, 1 << sfb, size=(n, w, c)).astype(np.uint8)
+    rs_arr = np.full((n, w, c), rs, np.uint8)
+    hist = rng.integers(-30000, 30000, size=(n, c, 4)).astype(np.int32)
+    wts = rng.integers(-30000, 30000, size=(n, c, 4)).astype(np.int32)
+    dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), jnp.int32)
+
+    want = np.asarray(
+        decode_chunks_packed(
+            jnp.asarray(res_bytes), jnp.asarray(sf), jnp.asarray(rs_arr),
+            jnp.asarray(hist), jnp.asarray(wts), dqt_flat,
+            scale_factor_frames=sff, frames=fpc, residual_size=rs,
+            use_pallas=False,
+        )
+    )
+    got = np.asarray(
+        decode_chunks_packed_fused(
+            jnp.asarray(res_bytes), jnp.asarray(sf),
+            jnp.asarray(hist), jnp.asarray(wts),
+            scale_factor_frames=sff, frames=fpc, residual_size=rs, sfb=sfb,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
