@@ -544,18 +544,43 @@ def main() -> None:
             samples_1.reshape(nc_base, fpc, channels)[: nc_base], (mult_c, 1, 1))
         n_c = nc_base * mult_c * fpc * channels
 
+        # the consumer reads the decoder's NATIVE lane-major PCM layout
+        # (lane = ch*N + chunk) -- a production consumer adapts its layout
+        # to the producer instead of paying a 2-GB/s-class [N, F, C]
+        # transpose it does not need
+        from sea_codec_tpu.ops.pallas_dequant import (
+            decode_chunks_packed_fused,
+            fused_prolog_supported,
+        )
+
+        n_c_chunks = nc_base * mult_c
+        lane_ok = use_pallas and fused_prolog_supported(
+            bc.residual_size, fpc, bc.scale_factor_frames, channels
+        ) and n_c_chunks % 128 == 0
+        orig_l = jax.block_until_ready(
+            jax.jit(lambda o: o.transpose(1, 2, 0).reshape(fpc, -1))(orig)
+        ) if lane_ok else orig
+
         @jax.jit
         def consume(res, sf, rs, hist, wts, orig):
-            pcm = decode_chunks_packed(
-                res, sf, rs, hist, wts, dqt_flat,
-                scale_factor_frames=bc.scale_factor_frames, frames=fpc,
-                residual_size=bc.residual_size, use_pallas=use_pallas,
-            )
+            if lane_ok:
+                pcm = decode_chunks_packed_fused(
+                    res, sf, hist, wts,
+                    scale_factor_frames=bc.scale_factor_frames, frames=fpc,
+                    residual_size=bc.residual_size,
+                    sfb=bc.scale_factor_bits, lane_output=True,
+                )
+            else:
+                pcm = decode_chunks_packed(
+                    res, sf, rs, hist, wts, dqt_flat,
+                    scale_factor_frames=bc.scale_factor_frames, frames=fpc,
+                    residual_size=bc.residual_size, use_pallas=use_pallas,
+                )
             d = (pcm.astype(jnp.float32) - orig.astype(jnp.float32)) / 32767.0
             rms = jnp.sqrt(jnp.mean(d * d))
             return -20.0 * jnp.log10(2.0 / rms)
 
-        fn = lambda: consume(*args_c, orig)
+        fn = lambda: consume(*args_c, orig_l)
         t = timed_device(fn, lambda o: float(o), reps=6)
         psnr_dev = float(fn())
         assert -60.0 < psnr_dev < -10.0, f"device-consumer psnr {psnr_dev}"

@@ -160,6 +160,7 @@ def fused_prolog_supported(residual_size: int, frames: int, sff: int, c: int) ->
         "residual_size",
         "sfb",
         "interpret",
+        "lane_output",
     ),
 )
 def decode_chunks_packed_fused(
@@ -172,7 +173,10 @@ def decode_chunks_packed_fused(
     residual_size: int,
     sfb: int,
     interpret: bool = False,
-) -> jnp.ndarray:  # int16[N, F, C]
+    lane_output: bool = False,  # True: return int16[F, C*Npad] lane-major
+    # PCM (lane = ch*Npad + chunk) without the [N, F, C] transpose -- for
+    # on-device consumers that read the recurrence kernel's native layout
+) -> jnp.ndarray:  # int16[N, F, C] (or lane-major, see above)
     """Full CBR device decode with the fused Pallas prolog.
 
     bytes -> (XLA transpose+widen) -> fused unpack+dequant kernel ->
@@ -242,4 +246,6 @@ def decode_chunks_packed_fused(
             time_block=tb, sublanes=s_sub,
         )
     out = out.reshape(f_pad, b_pad)[:frames, : c * npad]
+    if lane_output:
+        return out
     return out.reshape(frames, c, npad)[:, :, :n].transpose(2, 0, 1)

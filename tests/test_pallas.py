@@ -195,3 +195,21 @@ def test_fused_prolog_matches_split_path(n, fpc, c, sff, sfb, rs):
         )
     )
     np.testing.assert_array_equal(got, want)
+
+    # lane-major output (for on-device consumers): [F, C*Npad] with
+    # lane = ch*Npad + chunk must carry the same PCM without the transpose
+    from sea_codec_tpu.ops.pallas_dequant import LANES
+
+    lane = np.asarray(
+        decode_chunks_packed_fused(
+            jnp.asarray(res_bytes), jnp.asarray(sf),
+            jnp.asarray(hist), jnp.asarray(wts),
+            scale_factor_frames=sff, frames=fpc, residual_size=rs, sfb=sfb,
+            interpret=True, lane_output=True,
+        )
+    )
+    npad = -(-n // LANES) * LANES
+    assert lane.shape == (fpc, c * npad)
+    np.testing.assert_array_equal(
+        lane.reshape(fpc, c, npad)[:, :, :n].transpose(2, 0, 1), want
+    )
