@@ -283,6 +283,8 @@ def _fetch_neighborhood_matmul(
     base8: jnp.ndarray,  # int32[N, WG] 8-word-aligned block index per group
     k1: int,  # one-hot width = number of 8-word blocks per row
     n_words: int,  # int32 words per fetched neighborhood
+    transposed: bool = False,  # True: uint32[WG, n_words, N] (lane-major
+    # for the fused VBR Pallas prolog: chunks land on the minor axis)
 ) -> jnp.ndarray:  # uint32[N, n_words, WG]
     """Neighborhood-word fetch as a one-hot bf16 matmul on the MXU.
 
@@ -346,6 +348,8 @@ def _fetch_neighborhood_matmul(
         | (out[..., 2].astype(jnp.uint32) << 8)
         | out[..., 3].astype(jnp.uint32)
     )  # [N, WG, n_words]
+    if transposed:
+        return jnp.transpose(words, (1, 2, 0))  # [WG, n_words, N]
     return jnp.moveaxis(words, 1, 2)  # [N, n_words, WG]
 
 
@@ -520,6 +524,27 @@ def decode_chunks_packed_fn(
                 frames=frames,
                 residual_size=residual_size,
                 sfb=sfb,
+                interpret=pallas_interpret,
+            )
+    if (
+        not residual_size
+        and use_pallas
+        and (matmul_fetch is None or matmul_fetch)
+        and os.environ.get("SEA_FUSED_PROLOG") != "0"
+    ):
+        from .pallas_dequant import decode_chunks_packed_fused_vbr, fused_vbr_supported
+
+        if fused_vbr_supported(frames, scale_factor_frames, c, res_bytes.shape[1]):
+            # fused VBR prolog: MXU neighborhood fetch + one Pallas
+            # extract+dequant pass straight into the recurrence kernel's
+            # lane-major layout (scripts/perf_vbr_attribution.py)
+            sfb = int(np.log2(dqt_flat.shape[0] // (8 * 256)))
+            return decode_chunks_packed_fused_vbr(
+                res_bytes, sf_codes, rs, hist0, wts0,
+                scale_factor_frames=scale_factor_frames,
+                frames=frames,
+                sfb=sfb,
+                max_code_bits=max_code_bits,
                 interpret=pallas_interpret,
             )
     if residual_size:

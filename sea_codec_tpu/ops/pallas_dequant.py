@@ -184,7 +184,6 @@ def decode_chunks_packed_fused(
     exists in chunk-major form and the uint8 code plane never exists at
     all."""
     from .device_decode import _dequant_window_constants
-    from .pallas_decode import LANE_BLOCK, decode_scan_pallas_lanes, lms_decode_lanes
 
     n, w, c = sf_codes.shape
     sff = scale_factor_frames
@@ -209,7 +208,301 @@ def decode_chunks_packed_fused(
         resT32, sfvalT, rs=rs, sff=sff, c=c, m=m, sfb=sfb, interpret=interpret
     )  # [Wp*sff*C, Npad] rows are code-major (frame-major, channel-minor)
 
-    fp = wp * sff
+    return _recurrence_lanes(
+        dq_rows, hist0, wts0, c=c, n=n, npad=npad, fp=wp * sff,
+        frames=frames, interpret=interpret, lane_output=lane_output,
+    )
+
+
+def _plan_vbr_blocks(wg: int, gc: int):
+    """(mw window-groups per block, padded WG) with 8-aligned output rows
+    and block sizes bounded for VMEM (out block = mw*gc rows x LANES i16)."""
+    mw = 8 // math.gcd(gc, 8)
+    while 2 * mw * gc <= 512:
+        mw *= 2
+    wgp = -(-wg // mw) * mw
+    return mw, wgp
+
+
+def _make_vbr_dequant_kernel(nw: int, g: int, c: int, mw: int, sfb: int):
+    """Fused VBR extraction+dequant kernel body.
+
+    Inputs are the matmul-fetched word neighborhoods (lane-major: chunks on
+    lanes) plus per-(window-group[, channel]) metadata planes. Within one
+    scale-factor window, code bit offsets are AFFINE in (frame, channel)
+    (chunk.rs:245-252 layout), so each row's word pair is picked by a
+    static nw-deep compare/select over the fetched neighborhood -- register
+    work, no gather. The dequant curve constants are derived from each
+    row's residual size by 8-entry select chains over Python scalars.
+    """
+    from . import tables
+
+    gc = g * c
+    out_rows = mw * gc
+    curves = {r: tables._dqt_curve(r) for r in range(1, 9)}
+    c0_t = {r: float(curves[r][0]) for r in curves}
+    endv_t = {r: float(curves[r][-1]) for r in curves}
+    stepf_t = {}
+    kmax_t = {}
+    for r in curves:
+        if r >= 3:
+            start = np.float32(0.75)
+            end = np.float32((1 << r) - 1)
+            steps = 1 << (r - 1)
+            stepf_t[r] = float(
+                np.floor(np.float32(np.float32(end - start) / np.float32(steps - 1)))
+            )
+        else:
+            stepf_t[r] = 0.0
+        kmax_t[r] = (1 << (r - 1)) - 1
+
+    def chain(wid, t, dtype):
+        acc = jnp.full(wid.shape, t[1], dtype)
+        for r in range(2, 9):
+            acc = jnp.where(wid == r, dtype(t[r]), acc)
+        return acc
+
+    def kernel(words_ref, phase_ref, wsum_ref, wid_ref, pre_ref, sfv_ref, out_ref):
+        shr = jax.lax.shift_right_logical
+        words = words_ref[...]  # [mw, nw, LANES] int32 big-endian words
+        # per-(group, channel) planes -> per-row [out_rows, LANES] by
+        # broadcast along the frame-in-group axis (rows are (grp, t, ch))
+        expand_c = lambda a: jnp.broadcast_to(
+            a[:, None, :, :], (mw, g, c, LANES)
+        ).reshape(out_rows, LANES)
+        expand_g = lambda a: jnp.broadcast_to(
+            a[:, None, :], (mw, gc, LANES)
+        ).reshape(out_rows, LANES)
+        wid_r = expand_c(wid_ref[...])  # int32 residual size per row
+        pre_r = expand_c(pre_ref[...])  # int32 channel bit prefix
+        sfv_r = expand_c(sfv_ref[...])  # f32 scale-factor value
+        phase_r = expand_g(phase_ref[...])  # int32 bit phase in neighborhood
+        wsum_r = expand_g(wsum_ref[...])  # int32 bits per frame in window
+        t_r = jax.lax.broadcasted_iota(
+            jnp.int32, (mw, g, c, LANES), 1
+        ).reshape(out_rows, LANES)  # frame index within the group
+
+        local = phase_r + t_r * wsum_r + pre_r
+        idx = jnp.minimum(local >> jnp.int32(5), jnp.int32(nw - 2))
+        s = jnp.minimum(local - (idx << jnp.int32(5)), jnp.int32(31))
+
+        # word-pair pick: static compare/select over the neighborhood depth
+        wj = jnp.zeros((out_rows, LANES), jnp.int32)
+        wj1 = jnp.zeros((out_rows, LANES), jnp.int32)
+        for j in range(nw - 1):
+            m = idx == jnp.int32(j)
+            # slice-then-newaxis: words[:, None, j, :] mixes None with an
+            # integer index, which jnp routes through gather (unsupported >2D
+            # in Mosaic); the static middle-dim pick itself is fine
+            wa = jnp.broadcast_to(
+                words[:, j, :][:, None, :], (mw, gc, LANES)
+            ).reshape(out_rows, LANES)
+            wb = jnp.broadcast_to(
+                words[:, j + 1, :][:, None, :], (mw, gc, LANES)
+            ).reshape(out_rows, LANES)
+            wj = jnp.where(m, wa, wj)
+            wj1 = jnp.where(m, wb, wj1)
+
+        u = (wj << s) | shr(shr(wj1, jnp.int32(1)), jnp.int32(31) - s)
+        code = shr(u, jnp.int32(32) - wid_r) & ((jnp.int32(1) << wid_r) - 1)
+
+        c0 = chain(wid_r, c0_t, jnp.float32)
+        stepf = chain(wid_r, stepf_t, jnp.float32)
+        endv = chain(wid_r, endv_t, jnp.float32)
+        kmax = chain(wid_r, kmax_t, jnp.int32)
+        k = code >> jnp.int32(1)
+        curve = jnp.float32(0.5) + k.astype(jnp.float32) * stepf
+        curve = jnp.where(k == kmax, endv, curve)
+        curve = jnp.where(k == jnp.int32(0), c0, curve)
+        dq = jnp.floor(sfv_r * curve + jnp.float32(0.5)).astype(jnp.int32)
+        dq = jnp.where((code & jnp.int32(1)) == jnp.int32(1), -dq, dq)
+        out_ref[...] = dq.astype(jnp.int16)
+
+    return kernel, out_rows
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nw", "g", "c", "mw", "sfb", "interpret"),
+)
+def unpack_dequant_vbr_lanes(
+    words: jnp.ndarray,  # int32[WGp, nw, Npad] fetched word neighborhoods
+    phase: jnp.ndarray,  # int32[WGp, Npad] group bit phase in neighborhood
+    wsum: jnp.ndarray,  # int32[WGp, Npad] bits per frame in window
+    wid: jnp.ndarray,  # int32[WGp, C, Npad] per-channel residual sizes
+    pre: jnp.ndarray,  # int32[WGp, C, Npad] per-channel bit prefixes
+    sfv: jnp.ndarray,  # f32[WGp, C, Npad] per-channel scale-factor values
+    nw: int,
+    g: int,
+    c: int,
+    mw: int,
+    sfb: int,
+    interpret: bool = False,
+) -> jnp.ndarray:  # int16[WGp*g*C, Npad] lane-major dq rows (code-major)
+    wgp, _, npad = words.shape
+    kernel, out_rows = _make_vbr_dequant_kernel(nw, g, c, mw, sfb)
+    assert wgp % mw == 0 and npad % LANES == 0
+    grid = (wgp // mw, npad // LANES)
+    z = lambda rb: rb * 0  # rb * 0, not 0: x64 literal breaks Mosaic indexing
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((wgp * g * c, npad), jnp.int16),
+        in_specs=[
+            pl.BlockSpec((mw, nw, LANES), lambda rb, nb: (rb, z(rb), nb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mw, LANES), lambda rb, nb: (rb, nb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mw, LANES), lambda rb, nb: (rb, nb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mw, c, LANES), lambda rb, nb: (rb, z(rb), nb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mw, c, LANES), lambda rb, nb: (rb, z(rb), nb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mw, c, LANES), lambda rb, nb: (rb, z(rb), nb), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (out_rows, LANES), lambda rb, nb: (rb, nb), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(words, phase, wsum, wid, pre, sfv)
+
+
+def fused_vbr_supported(frames: int, sff: int, c: int, res_len: int) -> bool:
+    """Whole scale-factor windows only, and the matmul fetch's row bound
+    (beyond it the one-hot contraction outgrows its advantage)."""
+    bw = -(-res_len // 4)
+    return frames % sff == 0 and c >= 1 and bw <= 32768
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor_frames",
+        "frames",
+        "sfb",
+        "max_code_bits",
+        "interpret",
+        "lane_output",
+    ),
+)
+def decode_chunks_packed_fused_vbr(
+    res_bytes: jnp.ndarray,  # uint8[N, B] packed residual section
+    sf_codes: jnp.ndarray,  # uint8[N, W, C]
+    rs: jnp.ndarray,  # uint8[N, W, C] per-window residual sizes (1..8)
+    hist0: jnp.ndarray,  # int32[N, C, 4]
+    wts0: jnp.ndarray,  # int32[N, C, 4]
+    scale_factor_frames: int,
+    frames: int,
+    sfb: int,
+    max_code_bits: int = 8,
+    interpret: bool = False,
+    lane_output: bool = False,
+) -> jnp.ndarray:  # int16[N, F, C] (or lane-major, see CBR variant)
+    """Full VBR device decode with the fused Pallas extraction+dequant.
+
+    bytes -> one-hot MXU neighborhood fetch (lane-major words) -> fused
+    Pallas extract+dequant kernel -> lane-major LMS recurrence -> PCM.
+    Replaces the XLA select-chain extraction + dequant passes whose HBM
+    temps dominated the VBR decode (scripts/perf_vbr_attribution.py:
+    prolog 228 of 249 ms at 503 Msamples)."""
+    from .device_decode import (
+        _dequant_window_constants,
+        _fetch_neighborhood_matmul,
+        _group_frames,
+    )
+
+    n, w, c = sf_codes.shape
+    sff = scale_factor_frames
+    b = res_bytes.shape[1]
+    g = _group_frames(sff, c)
+    n_groups = sff // g
+    wg = w * n_groups
+    gc = g * c
+    mw, wgp = _plan_vbr_blocks(wg, gc)
+    npad = -(-n // LANES) * LANES
+
+    # --- group addressing (same affine layout math as unpack_var_windowed);
+    # dtype pinned everywhere: under jax_enable_x64 sum/cumsum of int32
+    # promote to int64, which Mosaic cannot take as kernel operands
+    rs32 = rs.astype(jnp.int32)
+    wsum = jnp.sum(rs32, axis=2, dtype=jnp.int32)  # [N, W] bits per frame
+    prefix = jnp.cumsum(rs32, axis=2, dtype=jnp.int32) - rs32  # [N, W, C]
+    fiw = np.clip(frames - np.arange(w) * sff, 0, sff).astype(np.int32)
+    win_bits = jnp.asarray(fiw)[None, :] * wsum
+    win_start = jnp.cumsum(win_bits, axis=1, dtype=jnp.int32) - win_bits  # [N, W]
+    grp = jnp.arange(n_groups, dtype=jnp.int32) * g
+    gstart = (
+        win_start[:, :, None] + grp[None, None, :] * wsum[:, :, None]
+    ).reshape(n, wg)
+
+    bw = -(-b // 4) + (31 + gc * max_code_bits + 31) // 32 + 1
+    k1 = -(-bw // 8) + 1
+    nw = (255 + gc * max_code_bits + 31) // 32 + 1
+    base8 = jnp.minimum(gstart >> 8, k1 - 1)  # [N, WG]
+    phase = gstart - (base8 << 8)
+    need = 4 * (8 * k1 + nw)
+    words_t = _fetch_neighborhood_matmul(
+        jnp.pad(res_bytes, ((0, 0), (0, need - b))), base8, k1, nw,
+        transposed=True,
+    ).astype(jnp.int32)  # [WG, nw, N]
+
+    # --- lane-major metadata planes, padded to [WGp(, C), Npad]; the pad
+    # copy is skipped entirely when the shapes already align (the corpus
+    # batch shapes do: N a multiple of LANES, WG a multiple of mw)
+    exact = wgp == wg and npad == n
+
+    def pad2(a, shape):
+        return a if exact else jnp.zeros(shape, a.dtype).at[
+            tuple(slice(s) for s in a.shape)
+        ].set(a)
+
+    pad_g = lambda a: pad2(a.T, (wgp, npad))
+    expand_wg = lambda a: jnp.broadcast_to(
+        a[:, :, None], (n, w, n_groups)
+    ).reshape(n, wg)
+    words_p = pad2(words_t, (wgp, nw, npad))
+    phase_p = pad_g(phase)
+    wsum_p = pad_g(expand_wg(wsum))
+
+    def pad_c(a):  # [N, W, C] -> [WGp, C, Npad] (windows expanded to groups)
+        a_wg = jnp.broadcast_to(
+            a[:, :, None, :], (n, w, n_groups, c)
+        ).reshape(n, wg, c)
+        return pad2(jnp.transpose(a_wg, (1, 2, 0)), (wgp, c, npad))
+
+    sfval_win, _c0, _stepf, _endv, _kmax = _dequant_window_constants(
+        sf_codes.astype(jnp.int32), rs32, sfb, 0
+    )
+    wid_p = pad_c(rs32)
+    pre_p = pad_c(prefix)
+    sfv_p = pad_c(sfval_win)
+
+    dq_rows = unpack_dequant_vbr_lanes(
+        words_p, phase_p, wsum_p, wid_p, pre_p, sfv_p,
+        nw=nw, g=g, c=c, mw=mw, sfb=sfb, interpret=interpret,
+    )  # [WGp*g*C, Npad] code-major rows
+
+    return _recurrence_lanes(
+        dq_rows, hist0, wts0, c=c, n=n, npad=npad, fp=wgp * g,
+        frames=frames, interpret=interpret, lane_output=lane_output,
+    )
+
+
+def _recurrence_lanes(
+    dq_rows: jnp.ndarray,  # int16[fp*C, Npad] code-major dq rows
+    hist0: jnp.ndarray,
+    wts0: jnp.ndarray,
+    c: int,
+    n: int,
+    npad: int,
+    fp: int,
+    frames: int,
+    interpret: bool,
+    lane_output: bool,
+) -> jnp.ndarray:
+    """Shared epilogue of the fused decode paths: lane-pack the LMS state,
+    run the lane-major recurrence kernel, slice/transpose the PCM out."""
+    from .pallas_decode import _lms_decode_lanes_interpret, lms_decode_lanes
+
     dq_l = dq_rows.reshape(fp, c * npad)  # lane = ch * Npad + n_chunk
 
     # LMS state in the same channel-major lane order (padding lanes: zero
@@ -234,8 +527,6 @@ def decode_chunks_packed_fused(
         lms_l = jnp.zeros((8, b_pad), jnp.int32).at[:, :b].set(lms_l)
     r = b_pad // 128
     if interpret:
-        from .pallas_decode import _lms_decode_lanes_interpret
-
         out = _lms_decode_lanes_interpret(
             dq_l.reshape(f_pad, r, 128), lms_l.reshape(8, r, 128),
             time_block=tb, sublanes=s_sub,

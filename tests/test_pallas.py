@@ -213,3 +213,78 @@ def test_fused_prolog_matches_split_path(n, fpc, c, sff, sfb, rs):
     np.testing.assert_array_equal(
         lane.reshape(fpc, c, npad)[:, :, :n].transpose(2, 0, 1), want
     )
+
+
+def _pack_var_rows(codes, widths):
+    """MSB-first variable-width packer (scalar model of bits.rs:104-134),
+    one row per chunk, rows zero-padded to the longest."""
+    rows = []
+    for crow, wrow in zip(codes, widths):
+        acc, nbits, out = 0, 0, []
+        for v, wd in zip(crow, wrow):
+            acc = (acc << int(wd)) | int(v)
+            nbits += int(wd)
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        rows.append(out)
+    b = max(len(r) for r in rows)
+    return np.array([r + [0] * (b - len(r)) for r in rows], np.uint8)
+
+
+@pytest.mark.parametrize(
+    "n,fpc,c,sff,sfb,mcb",
+    [
+        (3, 40, 2, 20, 4, 4),
+        (5, 100, 1, 20, 4, 8),
+        (2, 60, 3, 20, 5, 6),
+        (4, 40, 8, 5, 4, 4),
+        (1, 25, 2, 5, 3, 8),
+        (6, 35, 7, 5, 5, 2),
+    ],
+)
+def test_fused_vbr_matches_xla_path(n, fpc, c, sff, sfb, mcb):
+    """The fused VBR Pallas extraction+dequant (ops/pallas_dequant.py) is
+    bit-identical to the XLA windowed-unpack path for mixed per-window
+    residual sizes (reference layout chunk.rs:245-278)."""
+    from sea_codec_tpu.ops.device_decode import (
+        decode_chunks_packed_fn,
+    )
+    from sea_codec_tpu.ops.pallas_dequant import (
+        decode_chunks_packed_fused_vbr,
+        fused_vbr_supported,
+    )
+
+    rng = np.random.default_rng(n * 1000 + c * 10 + sfb)
+    w = fpc // sff
+    rs_arr = rng.integers(1, mcb + 1, size=(n, w, c)).astype(np.uint8)
+    # per-code widths in the residual-section layout: frame-major,
+    # channel-minor within each window
+    widths = np.repeat(rs_arr.astype(np.int32), sff, axis=1).reshape(n, fpc * c)
+    codes = rng.integers(0, 1 << 8, size=(n, fpc * c)) & ((1 << widths) - 1)
+    res_bytes = _pack_var_rows(codes, widths)
+    assert fused_vbr_supported(fpc, sff, c, res_bytes.shape[1])
+    sf = rng.integers(0, 1 << sfb, size=(n, w, c)).astype(np.uint8)
+    hist = rng.integers(-30000, 30000, size=(n, c, 4)).astype(np.int32)
+    wts = rng.integers(-30000, 30000, size=(n, c, 4)).astype(np.int32)
+    dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), jnp.int32)
+
+    want = np.asarray(
+        decode_chunks_packed_fn(
+            jnp.asarray(res_bytes), jnp.asarray(sf), jnp.asarray(rs_arr),
+            jnp.asarray(hist), jnp.asarray(wts), dqt_flat,
+            scale_factor_frames=sff, frames=fpc, residual_size=0,
+            use_pallas=False, max_code_bits=mcb,
+        )
+    )
+    got = np.asarray(
+        decode_chunks_packed_fused_vbr(
+            jnp.asarray(res_bytes), jnp.asarray(sf), jnp.asarray(rs_arr),
+            jnp.asarray(hist), jnp.asarray(wts),
+            scale_factor_frames=sff, frames=fpc, sfb=sfb,
+            max_code_bits=mcb, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
