@@ -534,7 +534,9 @@ def main() -> None:
         encoded = enc_cell[0]
         hdr_c, rect_c, _ = split_chunks(encoded)
         bc = parse_full_chunks(rect_c, hdr_c)
-        mult_c = 96  # 12288 chunks / 126M samples
+        mult_c = 384  # 49152 chunks / 503M samples: at mult 96 the ~28 ms
+        # relay dispatch was ~3/4 of the measurement (decode itself runs at
+        # headline rate); 503M puts the fixed cost under 15% of the call
         args_c = tuple(
             device_tile(a, (mult_c,) + (1,) * (a.ndim - 1))
             for a in (bc.res_bytes, bc.sf, bc.rs, bc.hist, bc.wts)
