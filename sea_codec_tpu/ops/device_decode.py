@@ -407,13 +407,15 @@ def unpack_var_windowed(
         (d[:, 0::4] << 24) | (d[:, 1::4] << 16) | (d[:, 2::4] << 8) | d[:, 3::4]
     )  # uint32[N, bw]
 
+    # dtypes pinned: under jax_enable_x64 sum/cumsum of int32 promote to
+    # int64, silently doubling the traffic of every offset plane downstream
     rs32 = rs.astype(jnp.int32)
-    wsum = jnp.sum(rs32, axis=2)  # [N, W] bits per frame in window
-    prefix = jnp.cumsum(rs32, axis=2) - rs32  # [N, W, C]
+    wsum = jnp.sum(rs32, axis=2, dtype=jnp.int32)  # [N, W] bits per frame
+    prefix = jnp.cumsum(rs32, axis=2, dtype=jnp.int32) - rs32  # [N, W, C]
     # frames actually present per window (only the last can be partial)
     fiw = np.clip(f - np.arange(w) * sff, 0, sff).astype(np.int32)  # [W]
     win_bits = jnp.asarray(fiw)[None, :] * wsum
-    win_start = jnp.cumsum(win_bits, axis=1) - win_bits  # [N, W]
+    win_start = jnp.cumsum(win_bits, axis=1, dtype=jnp.int32) - win_bits  # [N, W]
 
     # group start bits + word-aligned gather bases, flat [N, WG]
     grp = jnp.arange(n_groups, dtype=jnp.int32) * g  # [G] frame offsets
@@ -472,8 +474,8 @@ def unpack_var_windowed(
     # producer into one pass and only the two outputs exist.
     iota = jnp.arange(nw - 1, dtype=jnp.int32)[None, :, None, None]
     m = wj_idx[:, None, :, :] == iota  # [N, nw-1, gC, WG], fused
-    wj = jnp.sum(jnp.where(m, words[:, :-1, None, :], 0), axis=1)
-    wj1 = jnp.sum(jnp.where(m, words[:, 1:, None, :], 0), axis=1)
+    wj = jnp.sum(jnp.where(m, words[:, :-1, None, :], 0), axis=1, dtype=jnp.uint32)
+    wj1 = jnp.sum(jnp.where(m, words[:, 1:, None, :], 0), axis=1, dtype=jnp.uint32)
 
     u = (wj << s) | ((wj1 >> jnp.uint32(1)) >> (jnp.uint32(31) - s))
     wu = wid_slot.astype(jnp.uint32)
