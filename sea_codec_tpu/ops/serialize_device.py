@@ -29,20 +29,37 @@ CHUNK_TYPE_CBR = 0x01
 def pack_bits_rows_device(values: jnp.ndarray, width: int) -> jnp.ndarray:
     """Pack each row of ``values`` [R, N] (items < 2^width) into a MSB-first
     bitstream -> uint8[R, ceil(N*width/8)]. Device mirror of
-    ``bitpack.pack_bits_rows`` for constant widths."""
+    ``bitpack.pack_bits_rows`` for constant widths.
+
+    Closed form via the stream's periodicity (the inverse of
+    ``device_decode.unpack_const_strided``): a w-bit stream repeats every
+    lcm(w, 8) bits = p bytes carrying g codes, and byte k of each period is
+    a FIXED shift/or combination of <= 2 codes. The previous formulation
+    materialized the per-code bit plane as int32 (32x the payload in HBM)
+    and measured 9 ms of the 14 ms corpus-encode block
+    (scripts/perf_encode_attribution.py)."""
+    import math
+
     r, n = values.shape
     total = n * width
     nbytes = -(-total // 8)
+    w_lcm = (width * 8) // math.gcd(width, 8)
+    p = w_lcm // 8  # bytes per period
+    g = w_lcm // width  # codes per period
+    groups = -(-n // g)
     v = values.astype(jnp.int32)
-    j = jnp.arange(width, dtype=jnp.int32)
-    bits = (v[:, :, None] >> (width - 1 - j)[None, None, :]) & 1  # [R, N, w]
-    flat = bits.reshape(r, total)
-    pad = nbytes * 8 - total
-    if pad:
-        flat = jnp.pad(flat, ((0, 0), (0, pad)))
-    folded = flat.reshape(r, nbytes, 8)
-    weights = jnp.left_shift(jnp.int32(1), 7 - jnp.arange(8, dtype=jnp.int32))
-    out = jnp.sum(folded * weights[None, None, :], axis=2, dtype=jnp.int32)
+    if groups * g != n:
+        v = jnp.pad(v, ((0, 0), (0, groups * g - n)))
+    v = v.reshape(r, groups, g)
+    byts = []
+    for k in range(p):
+        acc = None
+        for j in range(8 * k // width, (8 * k + 7) // width + 1):
+            sh = (8 * k + 8) - (j + 1) * width  # code j LSB above byte k LSB
+            contrib = v[:, :, j] << sh if sh >= 0 else v[:, :, j] >> -sh
+            acc = contrib if acc is None else acc | contrib
+        byts.append(acc & 0xFF)
+    out = jnp.stack(byts, axis=2).reshape(r, groups * p)[:, :nbytes]
     return out.astype(jnp.uint8)
 
 

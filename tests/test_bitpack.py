@@ -106,3 +106,20 @@ def test_pack_bits_rows_variable_widths():
     rows = bitpack.pack_bits_rows(vals, widths)
     for i in range(n):
         np.testing.assert_array_equal(rows[i], bitpack.pack_bits(vals[i], widths[i]))
+
+
+@pytest.mark.parametrize("width", list(range(1, 9)))
+def test_pack_bits_rows_device_matches_scalar(width):
+    """The device packer's closed-form periodic shift/or combination is
+    bit-identical to the scalar packer (reference bits.rs:104-134),
+    including ragged final bytes (left-aligned padding)."""
+    import jax.numpy as jnp
+
+    from sea_codec_tpu.ops.serialize_device import pack_bits_rows_device
+
+    rng = np.random.default_rng(width + 200)
+    for n in (1, 7, 8, 203, 1024):
+        vals = rng.integers(0, 1 << width, size=(4, n)).astype(np.uint32)
+        got = np.asarray(pack_bits_rows_device(jnp.asarray(vals), width))
+        want = np.stack([bitpack.pack_bits(v, width) for v in vals])
+        np.testing.assert_array_equal(got, want)
