@@ -78,15 +78,15 @@ def main():
     mcb = batch_max_code_bits(cat[2], 0)
     print(f"chunks={n} samples={nsamp/1e6:.0f}M max_code_bits={mcb} "
           f"B={res_bytes.shape[1]}", file=sys.stderr)
+    from sea_codec_tpu.ops.device_decode import _vbr_fetch_geometry
+
     g = _group_frames(sff, channels)
     w = sf.shape[1]
     gc = g * channels
     n_groups = sff // g
     wg = w * n_groups
     b = res_bytes.shape[1]
-    bw = -(-b // 4) + ((31 + gc * mcb + 31) // 32 + 1)
-    k1 = -(-bw // 8) + 1
-    n_words = (255 + gc * mcb + 31) // 32 + 1
+    _bw, k1, n_words, _need = _vbr_fetch_geometry(b, gc, mcb)
     print(f"groups/chunk={wg} gc={gc} k1={k1} n_words={n_words}", file=sys.stderr)
 
     # S1: one-hot matmul neighborhood fetch alone (synthetic uniform bases)

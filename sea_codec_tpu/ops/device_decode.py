@@ -353,6 +353,50 @@ def _fetch_neighborhood_matmul(
     return jnp.moveaxis(words, 1, 2)  # [N, n_words, WG]
 
 
+def _vbr_group_addressing(rs32, frames: int, sff: int, c: int):
+    """Affine VBR group addressing, SHARED by the XLA windowed unpack and
+    the fused Pallas prolog (a divergence here would make the two paths
+    read different bit offsets): returns (g, n_groups, wg, gc, wsum [N,W],
+    prefix [N,W,C], gstart [N,WG]). dtypes pinned: under jax_enable_x64
+    sum/cumsum of int32 promote to int64, silently doubling the traffic of
+    every offset plane downstream."""
+    n, w, _ = rs32.shape
+    g = _group_frames(sff, c)
+    n_groups = sff // g
+    wg = w * n_groups
+    gc = g * c
+    wsum = jnp.sum(rs32, axis=2, dtype=jnp.int32)  # [N, W] bits per frame
+    prefix = jnp.cumsum(rs32, axis=2, dtype=jnp.int32) - rs32  # [N, W, C]
+    # frames actually present per window (only the last can be partial)
+    fiw = np.clip(frames - np.arange(w) * sff, 0, sff).astype(np.int32)  # [W]
+    win_bits = jnp.asarray(fiw)[None, :] * wsum
+    win_start = jnp.cumsum(win_bits, axis=1, dtype=jnp.int32) - win_bits  # [N, W]
+    grp = jnp.arange(n_groups, dtype=jnp.int32) * g  # [G] frame offsets
+    gstart = (
+        win_start[:, :, None] + grp[None, None, :] * wsum[:, :, None]
+    ).reshape(n, wg)
+    return g, n_groups, wg, gc, wsum, prefix, gstart
+
+
+def _vbr_span(gc: int, max_code_bits: int) -> int:
+    """Fetched words per group for exact-word addressing: 31 bits of phase
+    + worst-case group payload, +1 word for the (wj, wj+1) pair at the last
+    in-span offset."""
+    return (31 + gc * max_code_bits + 31) // 32 + 1
+
+
+def _vbr_fetch_geometry(b: int, gc: int, max_code_bits: int):
+    """8-word-aligned matmul-fetch geometry, shared by both VBR decode
+    paths: (bw word-row length, k1 one-hot width, n_words per neighborhood,
+    need padded byte length). The <= 255-bit in-block phase is absorbed by
+    a wider neighborhood."""
+    bw = -(-b // 4) + _vbr_span(gc, max_code_bits)
+    k1 = -(-bw // 8) + 1
+    n_words = (255 + gc * max_code_bits + 31) // 32 + 1
+    need = 4 * (8 * k1 + n_words)
+    return bw, k1, n_words, need
+
+
 def unpack_var_windowed(
     data: jnp.ndarray,  # uint8[N, B] packed residual section
     rs: jnp.ndarray,  # int32[N, W, C] per-window residual sizes (1..8)
@@ -381,18 +425,16 @@ def unpack_var_windowed(
     """
     n, w, c = rs.shape
     b = data.shape[1]
-    f = frames
     sff = scale_factor_frames
-    g = _group_frames(sff, c)
-    n_groups = sff // g
-    wg = w * n_groups
-    gc = g * c
-    # span: 31 bits of phase + worst-case group payload, +1 word for the
-    # (wj, wj+1) pair at the last in-span offset. max_code_bits lets the
-    # caller shrink the worst case to the batch's actual largest residual
-    # size (host-known from the parsed chunk headers) -- at VBR target 2.5
-    # that is 4 bits, span 7 instead of 12.
-    span = (31 + gc * max_code_bits + 31) // 32 + 1
+    rs32 = rs.astype(jnp.int32)
+    g, n_groups, wg, gc, wsum, prefix, gstart = _vbr_group_addressing(
+        rs32, frames, sff, c
+    )
+    # max_code_bits lets the caller shrink the worst-case span to the
+    # batch's actual largest residual size (host-known from the parsed
+    # chunk headers) -- at VBR target 2.5 that is 4 bits, span 7 not 12.
+    span = _vbr_span(gc, max_code_bits)
+    bw, k1, n_words, need = _vbr_fetch_geometry(b, gc, max_code_bits)
 
     # Layout rule (hard-won: the first cut used [N, W, G, g, C] temps whose
     # degenerate minor dims tile-padded 128x and OOM'd at 12k chunks): every
@@ -400,40 +442,19 @@ def unpack_var_windowed(
     # minor, so chain temps are unpadded and the whole extraction fuses.
 
     # big-endian int32 words over the (padded) byte rows
-    bw = -(-b // 4) + span
     pad = bw * 4 - b
     d = jnp.pad(data, ((0, 0), (0, pad))).astype(jnp.uint32)
     words_row = (
         (d[:, 0::4] << 24) | (d[:, 1::4] << 16) | (d[:, 2::4] << 8) | d[:, 3::4]
     )  # uint32[N, bw]
 
-    # dtypes pinned: under jax_enable_x64 sum/cumsum of int32 promote to
-    # int64, silently doubling the traffic of every offset plane downstream
-    rs32 = rs.astype(jnp.int32)
-    wsum = jnp.sum(rs32, axis=2, dtype=jnp.int32)  # [N, W] bits per frame
-    prefix = jnp.cumsum(rs32, axis=2, dtype=jnp.int32) - rs32  # [N, W, C]
-    # frames actually present per window (only the last can be partial)
-    fiw = np.clip(f - np.arange(w) * sff, 0, sff).astype(np.int32)  # [W]
-    win_bits = jnp.asarray(fiw)[None, :] * wsum
-    win_start = jnp.cumsum(win_bits, axis=1, dtype=jnp.int32) - win_bits  # [N, W]
-
-    # group start bits + word-aligned gather bases, flat [N, WG]
-    grp = jnp.arange(n_groups, dtype=jnp.int32) * g  # [G] frame offsets
-    gstart = (win_start[:, :, None] + grp[None, None, :] * wsum[:, :, None]).reshape(
-        n, wg
-    )
     # for extreme rows (chunk_size-scale payloads) the one-hot K dimension
     # outgrows the matmul's advantage over the 13 ns/element gather
     if matmul_fetch and bw <= 32768:
         # 8-word-aligned neighborhoods: the one-hot contraction is over k1 =
-        # bw/8 blocks (8x less one-hot traffic than exact-word addressing);
-        # the <= 255-bit in-block phase is absorbed by the extraction
-        # select-chains below via a wider neighborhood
-        k1 = -(-bw // 8) + 1
-        n_words = (255 + gc * max_code_bits + 31) // 32 + 1
+        # bw/8 blocks (8x less one-hot traffic than exact-word addressing)
         base8 = jnp.minimum(gstart >> 8, k1 - 1)  # [N, WG]
         phase = gstart - (base8 << 8)  # < 256 except clamped tail garbage
-        need = 4 * (8 * k1 + n_words)
         words = _fetch_neighborhood_matmul(
             jnp.pad(data, ((0, 0), (0, need - b))), base8, k1, n_words
         )
@@ -484,7 +505,7 @@ def unpack_var_windowed(
     )
     # [N, gC, WG] -> slot order ((w*G+grp)*g + t)*C + c
     code = jnp.moveaxis(code, 1, 2).reshape(n, wg * gc)
-    return code[:, : f * c]
+    return code[:, : frames * c]
 
 
 def decode_chunks_packed_fn(
@@ -507,11 +528,9 @@ def decode_chunks_packed_fn(
 
     n, w, c = sf_codes.shape
     count = frames * c
-    if (
-        residual_size
-        and use_pallas
-        and os.environ.get("SEA_FUSED_PROLOG") != "0"
-    ):
+    fused_enabled = use_pallas and os.environ.get("SEA_FUSED_PROLOG") != "0"
+    sfb = int(np.log2(dqt_flat.shape[0] // (8 * 256)))
+    if residual_size and fused_enabled:
         from .pallas_dequant import decode_chunks_packed_fused, fused_prolog_supported
 
         if fused_prolog_supported(residual_size, frames, scale_factor_frames, c):
@@ -519,7 +538,6 @@ def decode_chunks_packed_fn(
             # byte-transposed bitstream into the recurrence kernel's
             # lane-major layout -- measured 2x the split XLA prolog
             # (108 -> 54 ms on 503 Msamples, see ops/pallas_dequant.py)
-            sfb = int(np.log2(dqt_flat.shape[0] // (8 * 256)))
             return decode_chunks_packed_fused(
                 res_bytes, sf_codes, hist0, wts0,
                 scale_factor_frames=scale_factor_frames,
@@ -530,17 +548,17 @@ def decode_chunks_packed_fn(
             )
     if (
         not residual_size
-        and use_pallas
+        and fused_enabled
         and (matmul_fetch is None or matmul_fetch)
-        and os.environ.get("SEA_FUSED_PROLOG") != "0"
     ):
         from .pallas_dequant import decode_chunks_packed_fused_vbr, fused_vbr_supported
 
-        if fused_vbr_supported(frames, scale_factor_frames, c, res_bytes.shape[1]):
+        if fused_vbr_supported(
+            frames, scale_factor_frames, c, res_bytes.shape[1], max_code_bits
+        ):
             # fused VBR prolog: MXU neighborhood fetch + one Pallas
             # extract+dequant pass straight into the recurrence kernel's
             # lane-major layout (scripts/perf_vbr_attribution.py)
-            sfb = int(np.log2(dqt_flat.shape[0] // (8 * 256)))
             return decode_chunks_packed_fused_vbr(
                 res_bytes, sf_codes, rs, hist0, wts0,
                 scale_factor_frames=scale_factor_frames,

@@ -214,11 +214,14 @@ def decode_chunks_packed_fused(
     )
 
 
-def _plan_vbr_blocks(wg: int, gc: int):
+def _plan_vbr_blocks(wg: int, gc: int, nw: int):
     """(mw window-groups per block, padded WG) with 8-aligned output rows
-    and block sizes bounded for VMEM (out block = mw*gc rows x LANES i16)."""
+    and block sizes bounded for VMEM: out block = mw*gc rows x LANES i16,
+    words block = mw*nw rows x LANES i32 (without the input bound, small
+    gc -- e.g. mono with a prime sff > 40 -> gc=1 -- would grow mw to 512
+    and bust VMEM on the words block alone)."""
     mw = 8 // math.gcd(gc, 8)
-    while 2 * mw * gc <= 512:
+    while 2 * mw * gc <= 512 and 2 * mw * nw * LANES * 4 <= (1 << 21):
         mw *= 2
     wgp = -(-wg // mw) * mw
     return mw, wgp
@@ -366,10 +369,16 @@ def unpack_dequant_vbr_lanes(
     )(words, phase, wsum, wid, pre, sfv)
 
 
-def fused_vbr_supported(frames: int, sff: int, c: int, res_len: int) -> bool:
+def fused_vbr_supported(
+    frames: int, sff: int, c: int, res_len: int, max_code_bits: int = 8
+) -> bool:
     """Whole scale-factor windows only, and the matmul fetch's row bound
-    (beyond it the one-hot contraction outgrows its advantage)."""
-    bw = -(-res_len // 4)
+    (beyond it the one-hot contraction outgrows its advantage). Uses the
+    SAME geometry as the XLA path's ``bw <= 32768`` gate."""
+    from .device_decode import _group_frames, _vbr_fetch_geometry
+
+    gc = _group_frames(sff, c) * c
+    bw, _k1, _nw, _need = _vbr_fetch_geometry(res_len, gc, max_code_bits)
     return frames % sff == 0 and c >= 1 and bw <= 32768
 
 
@@ -407,39 +416,24 @@ def decode_chunks_packed_fused_vbr(
     from .device_decode import (
         _dequant_window_constants,
         _fetch_neighborhood_matmul,
-        _group_frames,
+        _vbr_fetch_geometry,
+        _vbr_group_addressing,
     )
 
     n, w, c = sf_codes.shape
     sff = scale_factor_frames
     b = res_bytes.shape[1]
-    g = _group_frames(sff, c)
-    n_groups = sff // g
-    wg = w * n_groups
-    gc = g * c
-    mw, wgp = _plan_vbr_blocks(wg, gc)
+    rs32 = rs.astype(jnp.int32)
+    # group addressing + fetch geometry SHARED with unpack_var_windowed
+    g, n_groups, wg, gc, wsum, prefix, gstart = _vbr_group_addressing(
+        rs32, frames, sff, c
+    )
+    _bw, k1, nw, need = _vbr_fetch_geometry(b, gc, max_code_bits)
+    mw, wgp = _plan_vbr_blocks(wg, gc, nw)
     npad = -(-n // LANES) * LANES
 
-    # --- group addressing (same affine layout math as unpack_var_windowed);
-    # dtype pinned everywhere: under jax_enable_x64 sum/cumsum of int32
-    # promote to int64, which Mosaic cannot take as kernel operands
-    rs32 = rs.astype(jnp.int32)
-    wsum = jnp.sum(rs32, axis=2, dtype=jnp.int32)  # [N, W] bits per frame
-    prefix = jnp.cumsum(rs32, axis=2, dtype=jnp.int32) - rs32  # [N, W, C]
-    fiw = np.clip(frames - np.arange(w) * sff, 0, sff).astype(np.int32)
-    win_bits = jnp.asarray(fiw)[None, :] * wsum
-    win_start = jnp.cumsum(win_bits, axis=1, dtype=jnp.int32) - win_bits  # [N, W]
-    grp = jnp.arange(n_groups, dtype=jnp.int32) * g
-    gstart = (
-        win_start[:, :, None] + grp[None, None, :] * wsum[:, :, None]
-    ).reshape(n, wg)
-
-    bw = -(-b // 4) + (31 + gc * max_code_bits + 31) // 32 + 1
-    k1 = -(-bw // 8) + 1
-    nw = (255 + gc * max_code_bits + 31) // 32 + 1
     base8 = jnp.minimum(gstart >> 8, k1 - 1)  # [N, WG]
     phase = gstart - (base8 << 8)
-    need = 4 * (8 * k1 + nw)
     words_t = _fetch_neighborhood_matmul(
         jnp.pad(res_bytes, ((0, 0), (0, need - b))), base8, k1, nw,
         transposed=True,

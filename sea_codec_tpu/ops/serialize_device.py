@@ -47,7 +47,10 @@ def pack_bits_rows_device(values: jnp.ndarray, width: int) -> jnp.ndarray:
     p = w_lcm // 8  # bytes per period
     g = w_lcm // width  # codes per period
     groups = -(-n // g)
-    v = values.astype(jnp.int32)
+    # mask to width bits: the bit-plane formulation silently truncated
+    # out-of-range values; the shift/or combination would smear their high
+    # bits into the neighboring code's byte
+    v = values.astype(jnp.int32) & ((1 << width) - 1)
     if groups * g != n:
         v = jnp.pad(v, ((0, 0), (0, groups * g - n)))
     v = v.reshape(r, groups, g)

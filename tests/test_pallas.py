@@ -243,6 +243,7 @@ def _pack_var_rows(codes, widths):
         (4, 40, 8, 5, 4, 4),
         (1, 25, 2, 5, 3, 8),
         (6, 35, 7, 5, 5, 2),
+        (2, 82, 1, 41, 4, 8),  # gc=1 (mono, prime sff): block-planner edge
     ],
 )
 def test_fused_vbr_matches_xla_path(n, fpc, c, sff, sfb, mcb):
