@@ -73,16 +73,17 @@ def main():
     print(f"chunks={n} samples={nsamp/1e6:.0f}M B={res_bytes.shape[1]} "
           f"btot={btot} npad={npad} m={m}", file=sys.stderr)
 
-    # S1: byte-transpose + widen (the XLA pass feeding the kernel)
+    # S1: byte transpose (the XLA pass feeding the kernel; uint8 plane,
+    # widening happens in-register in the kernel)
     @jax.jit
     def s1(res):
-        resT32 = jnp.zeros((btot, npad), jnp.int32)
+        resT = jnp.zeros((btot, npad), jnp.uint8)
         breal = min(res.shape[1], btot)
-        return resT32.at[:breal, :n].set(res[:, :breal].T.astype(jnp.int32))
+        return resT.at[:breal, :n].set(res[:, :breal].T)
 
     rT = jax.block_until_ready(s1(res_bytes))
     t = timeit(lambda: np.asarray(s1(res_bytes)[0, 0]))
-    print(f"S1 transpose+widen:     {t*1e3:7.1f} ms  {nsamp/t/1e9:6.2f} Gsps")
+    print(f"S1 byte transpose:      {t*1e3:7.1f} ms  {nsamp/t/1e9:6.2f} Gsps")
 
     # S2: fused unpack+dequant kernel alone (on the staged transposed plane)
     from sea_codec_tpu.ops.device_decode import _dequant_window_constants

@@ -7,8 +7,8 @@ measured 95 ms of the 108 ms device decode (scripts/perf_decode_attribution
 byte-transposed bitstream in one pass, using only Mosaic-friendly
 primitives -- no gathers, no dynamic indexing:
 
-- **Layout**: bytes on sublanes, chunks on lanes (``resT32[j, n]`` = byte j
-  of chunk n, pre-transposed+widened by XLA in one fused pass). The output
+- **Layout**: bytes on sublanes, chunks on lanes (``resT[j, n]`` = byte j
+  of chunk n, pre-transposed by XLA; widened in-register). The output
   rows are code-major (``i = frame*C + ch``), which reshapes *for free* to
   the ``[F, C*Npad]`` lane-major form the LMS recurrence kernel consumes.
 - **16-bit windows everywhere at once**: ``w16 = (v << 8) | roll(v, -1)``
@@ -82,7 +82,10 @@ def _make_dequant_kernel(rs: int, sff: int, c: int, m: int, sfb: int):
         endv = jnp.float32(endv_v)
         stepf = jnp.float32(stepf_v)
         kmax = jnp.int32(kmax_v)
-        v = v_ref[...]  # [Brows, LANES] int32 bytes
+        # [Brows, LANES] bytes; widened in-register (shipping the plane as
+        # uint8 quarters the transpose-pass write and the kernel's input
+        # traffic vs a pre-widened int32 plane)
+        v = v_ref[...].astype(jnp.int32)
         w16 = (v << jnp.int32(8)) | jnp.concatenate([v[1:], v[:1]], axis=0)
         wg = w16.reshape(ng, rs, LANES)
         picks = [wg[:, (r * rs) // 8] for r in range(g8)]  # 8 x [G, LANES]
@@ -112,7 +115,7 @@ def _make_dequant_kernel(rs: int, sff: int, c: int, m: int, sfb: int):
     static_argnames=("rs", "sff", "c", "m", "sfb", "interpret"),
 )
 def unpack_dequant_cbr_lanes(
-    resT32: jnp.ndarray,  # int32[Bpad, Npad] byte-transposed residual bytes
+    resT: jnp.ndarray,  # uint8[Bpad, Npad] byte-transposed residual bytes
     sfvalT: jnp.ndarray,  # f32[Wpad, C, Npad] per-(window, channel) scale factors
     rs: int,
     sff: int,
@@ -121,7 +124,7 @@ def unpack_dequant_cbr_lanes(
     sfb: int,
     interpret: bool = False,
 ) -> jnp.ndarray:  # int16[Wpad*sff*C, Npad] lane-major dq rows (code-major)
-    bpad, npad = resT32.shape
+    bpad, npad = resT.shape
     wp = sfvalT.shape[0]
     kernel, brows, out_rows = _make_dequant_kernel(rs, sff, c, m, sfb)
     assert bpad == (wp // m) * brows and npad % LANES == 0
@@ -143,7 +146,7 @@ def unpack_dequant_cbr_lanes(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(resT32, sfvalT)
+    )(resT, sfvalT)
 
 
 def fused_prolog_supported(residual_size: int, frames: int, sff: int, c: int) -> bool:
@@ -193,9 +196,9 @@ def decode_chunks_packed_fused(
     btot = (wp // m) * ((m * sff * c * rs) // 8)
 
     # byte-transpose + widen in one fused XLA pass; pad rows/lanes with zeros
-    resT32 = jnp.zeros((btot, npad), jnp.int32)
+    resT = jnp.zeros((btot, npad), jnp.uint8)
     breal = min(res_bytes.shape[1], btot)
-    resT32 = resT32.at[:breal, :n].set(res_bytes[:, :breal].T.astype(jnp.int32))
+    resT = resT.at[:breal, :n].set(res_bytes[:, :breal].T)
 
     # per-(window, channel) scale-factor values, transposed to [Wp, C, Npad]
     sfval_win, _c0, _stepf, _endv, _kmax = _dequant_window_constants(
@@ -205,7 +208,7 @@ def decode_chunks_packed_fused(
     sfvalT = sfvalT.at[:w, :, :n].set(jnp.transpose(sfval_win, (1, 2, 0)))
 
     dq_rows = unpack_dequant_cbr_lanes(
-        resT32, sfvalT, rs=rs, sff=sff, c=c, m=m, sfb=sfb, interpret=interpret
+        resT, sfvalT, rs=rs, sff=sff, c=c, m=m, sfb=sfb, interpret=interpret
     )  # [Wp*sff*C, Npad] rows are code-major (frame-major, channel-minor)
 
     return _recurrence_lanes(
