@@ -295,8 +295,6 @@ def main() -> None:
     corpus256 = make_corpus(256, seed0=0)
     n_corpus256 = sum(f.shape[0] for f in corpus256)
 
-    e1_out: list = []
-
     def x_corpus_encode():
         encode_corpus(corpus256[:64], TEST_SAMPLE_RATE, channels, settings)
         encode_corpus(corpus256, TEST_SAMPLE_RATE, channels, settings)
@@ -304,7 +302,6 @@ def main() -> None:
         blobs = encode_corpus(corpus256, TEST_SAMPLE_RATE, channels, settings)
         t = time.perf_counter() - t0
         corpus_check(corpus256, blobs, "corpus256", settings)
-        e1_out.extend(blobs)
         msps = n_corpus256 / t / 1e6
         log(f"corpus encode e2e (256 varied stereo files, ragged): "
             f"{t:.2f}s = {msps:.1f} Msamples/s")
@@ -380,7 +377,6 @@ def main() -> None:
 
     enc_dev_msps = stage("device_encode", 45, x_device_encode, reserve=130)
 
-    vbr_blobs: list = []
     stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
 
     def x_vbr():
@@ -391,7 +387,6 @@ def main() -> None:
         blobs = encode_corpus(vbr_files, TEST_SAMPLE_RATE, channels, stv)
         t = time.perf_counter() - t0
         corpus_check(vbr_files, blobs, "vbr_corpus", stv)
-        vbr_blobs.extend(blobs)
         msps = n_vbr / t / 1e6
         log(f"VBR corpus encode (64 varied stereo files): {t:.2f}s = {msps:.1f} Msamples/s")
         return msps
@@ -556,9 +551,11 @@ def main() -> None:
         )
 
         n_c_chunks = nc_base * mult_c
+        # % 512 (the fused path's LANES): a multiple of only 128 would pad
+        # pcm lanes to 512 while orig_l stays unpadded -> shape mismatch
         lane_ok = use_pallas and fused_prolog_supported(
             bc.residual_size, fpc, bc.scale_factor_frames, channels
-        ) and n_c_chunks % 128 == 0
+        ) and n_c_chunks % 512 == 0
         orig_l = jax.block_until_ready(
             jax.jit(lambda o: o.transpose(1, 2, 0).reshape(fpc, -1))(orig)
         ) if lane_ok else orig

@@ -124,25 +124,15 @@ def main():
     t = timeit(lambda: np.asarray(s3(res_bytes, sf, rs)))
     print(f"S3 prolog (unpack+dequant):   {t*1e3:7.1f} ms  {nsamp/t/1e9:6.2f} Gsps")
 
-    # S4: full decode with the XLA prolog (its own jit instance: the
-    # production entry reads SEA_FUSED_PROLOG at trace time, so the shared
-    # decode_chunks_packed cache would return the fused program)
-    import os
-
-    from sea_codec_tpu.ops.device_decode import decode_chunks_packed_fn
-
-    os.environ["SEA_FUSED_PROLOG"] = "0"
-    s4_jit = jax.jit(
-        lambda a, b_, c_, d, e: decode_chunks_packed_fn(
-            a, b_, c_, d, e, dqt_flat,
-            scale_factor_frames=sff, frames=fpc, residual_size=0,
-            use_pallas=True, max_code_bits=mcb))
-
+    # S4: full decode with the XLA prolog (fused=False is a static jit arg,
+    # so this compiles its own program instead of hitting the fused one)
     def s4():
-        return s4_jit(res_bytes, sf, rs, hist, wts)
+        return decode_chunks_packed(
+            res_bytes, sf, rs, hist, wts, dqt_flat,
+            scale_factor_frames=sff, frames=fpc, residual_size=0,
+            use_pallas=True, max_code_bits=mcb, fused=False)
 
     t = timeit(lambda: np.asarray(s4()[0, 0, 0]))
-    del os.environ["SEA_FUSED_PROLOG"]
     print(f"S4 full decode (XLA prolog):  {t*1e3:7.1f} ms  {nsamp/t/1e9:6.2f} Gsps")
 
     # S5: fused Pallas extraction+dequant prolog

@@ -522,13 +522,12 @@ def decode_chunks_packed_fn(
     pallas_interpret: bool = False,
     max_code_bits: int = 8,  # static: largest VBR residual size in the batch
     matmul_fetch: bool | None = None,  # static: None = follow use_pallas
+    fused: bool = True,  # static: False disables the fused Pallas prologs
 ) -> jnp.ndarray:
     """Full device decode from packed residual bytes -> int16[N, frames, C]."""
-    import os
-
     n, w, c = sf_codes.shape
     count = frames * c
-    fused_enabled = use_pallas and os.environ.get("SEA_FUSED_PROLOG") != "0"
+    fused_enabled = use_pallas and fused
     sfb = int(np.log2(dqt_flat.shape[0] // (8 * 256)))
     if residual_size and fused_enabled:
         from .pallas_dequant import decode_chunks_packed_fused, fused_prolog_supported
@@ -602,7 +601,7 @@ def decode_chunks_packed_fn(
     )
 
 
-decode_chunks_packed = jax.jit(
+_decode_chunks_packed_jit = jax.jit(
     decode_chunks_packed_fn,
     static_argnames=(
         "scale_factor_frames",
@@ -612,8 +611,22 @@ decode_chunks_packed = jax.jit(
         "pallas_interpret",
         "max_code_bits",
         "matmul_fetch",
+        "fused",
     ),
 )
+
+
+def decode_chunks_packed(*args, **kwargs):
+    """Jitted ``decode_chunks_packed_fn``. The ``SEA_FUSED_PROLOG=0``
+    kill-switch is read HERE (outside the trace) and passed as the static
+    ``fused`` argument, so flipping the env var mid-process selects a
+    different compiled program instead of silently hitting the stale jit
+    cache entry."""
+    if "fused" not in kwargs:
+        import os
+
+        kwargs["fused"] = os.environ.get("SEA_FUSED_PROLOG") != "0"
+    return _decode_chunks_packed_jit(*args, **kwargs)
 
 
 def batch_max_code_bits(rs, residual_size: int) -> int:

@@ -63,18 +63,9 @@ def _make_dequant_kernel(rs: int, sff: int, c: int, m: int, sfb: int):
     ng = brows // rs
 
     # static per-(rs) dequant constants as PYTHON scalars (closed-form
-    # curve, dqt.rs:75-126); jnp scalars here would be captured constants
-    curve_t = tables._dqt_curve(rs)
-    c0_v = float(curve_t[0])
-    endv_v = float(curve_t[-1])
-    if rs >= 3:
-        start = np.float32(0.75)
-        end = np.float32((1 << rs) - 1)
-        steps = 1 << (rs - 1)
-        stepf_v = float(np.floor(np.float32(np.float32(end - start) / np.float32(steps - 1))))
-    else:
-        stepf_v = 0.0
-    kmax_v = (1 << (rs - 1)) - 1
+    # curve, dqt.rs:75-126; single source: tables.rs_curve_constants);
+    # jnp scalars here would be captured constants
+    c0_v, stepf_v, endv_v, kmax_v = tables.rs_curve_constants(rs)
 
     def kernel(v_ref, sfv_ref, out_ref):
         mask = jnp.int32((1 << rs) - 1)
@@ -151,8 +142,15 @@ def unpack_dequant_cbr_lanes(
 
 def fused_prolog_supported(residual_size: int, frames: int, sff: int, c: int) -> bool:
     """CBR only, whole scale-factor windows only (block planning pads the
-    window count; ragged-window chunks fall back to the XLA prolog)."""
-    return residual_size > 0 and frames % sff == 0 and c >= 1
+    window count; ragged-window chunks fall back to the XLA prolog), and
+    the planner's BASE block must fit the grow loop's VMEM targets -- for
+    high sff*c (e.g. 128 channels) even m0=1 exceeds them, so those
+    configs stay on the XLA prolog instead of busting VMEM."""
+    if not (residual_size > 0 and frames % sff == 0 and c >= 1):
+        return False
+    m, _wp = _plan_blocks(frames // sff, sff, c, residual_size)
+    out_rows = m * sff * c
+    return out_rows <= 512 and out_rows * residual_size // 8 <= 256
 
 
 @partial(
@@ -245,22 +243,12 @@ def _make_vbr_dequant_kernel(nw: int, g: int, c: int, mw: int, sfb: int):
 
     gc = g * c
     out_rows = mw * gc
-    curves = {r: tables._dqt_curve(r) for r in range(1, 9)}
-    c0_t = {r: float(curves[r][0]) for r in curves}
-    endv_t = {r: float(curves[r][-1]) for r in curves}
-    stepf_t = {}
-    kmax_t = {}
-    for r in curves:
-        if r >= 3:
-            start = np.float32(0.75)
-            end = np.float32((1 << r) - 1)
-            steps = 1 << (r - 1)
-            stepf_t[r] = float(
-                np.floor(np.float32(np.float32(end - start) / np.float32(steps - 1)))
-            )
-        else:
-            stepf_t[r] = 0.0
-        kmax_t[r] = (1 << (r - 1)) - 1
+    # single-source curve constants (tables.rs_curve_constants), per rs 1..8
+    consts = {r: tables.rs_curve_constants(r) for r in range(1, 9)}
+    c0_t = {r: consts[r][0] for r in consts}
+    stepf_t = {r: consts[r][1] for r in consts}
+    endv_t = {r: consts[r][2] for r in consts}
+    kmax_t = {r: consts[r][3] for r in consts}
 
     def chain(wid, t, dtype):
         acc = jnp.full(wid.shape, t[1], dtype)

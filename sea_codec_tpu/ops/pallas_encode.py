@@ -337,15 +337,7 @@ def _rs_constants(scale_factor_bits: int):
     for rb in range(1, 9):
         sfval[rb] = tables.scale_factors(rb, scale_factor_bits).astype(np.float32)
         recip[rb] = tables.reciprocals(rb, scale_factor_bits)
-        curve = tables._dqt_curve(rb)
-        c0[rb] = curve[0]
-        endval[rb] = curve[-1]
-        if rb >= 3:
-            start = np.float32(0.75)
-            end = np.float32((1 << rb) - 1)
-            steps = 1 << (rb - 1)
-            stepfloor[rb] = np.float32(np.floor(np.float32(np.float32(end - start) / np.float32(steps - 1))))
-        kmax[rb] = (1 << (rb - 1)) - 1
+        c0[rb], stepfloor[rb], endval[rb], kmax[rb] = tables.rs_curve_constants(rb)
         climit[rb] = 1 << rb
     return sfval, recip, c0, stepfloor, endval, kmax, climit
 

@@ -180,6 +180,26 @@ def _dqt_curve(residual_bits: int) -> tuple:
     return tuple(curve)
 
 
+def rs_curve_constants(residual_bits: int) -> tuple[float, float, float, int]:
+    """(c0, stepfloor, endval, kmax) of the f32-exact dequant curve for one
+    residual size -- the closed form the decode kernels evaluate per sample
+    (``curve = 0.5 + k*stepfloor``, endpoints overridden). SINGLE source:
+    the Pallas encode/decode kernels and the XLA select-chain path all take
+    the formula from here so a rounding fix cannot diverge them."""
+    curve = _dqt_curve(residual_bits)
+    c0 = float(curve[0])
+    endval = float(curve[-1])
+    if residual_bits >= 3:
+        start = _f32(0.75)
+        end = _f32((1 << residual_bits) - 1)
+        steps = 1 << (residual_bits - 1)
+        stepfloor = float(np.floor(np.float32(np.float32(end - start) / _f32(steps - 1))))
+    else:
+        stepfloor = 0.0
+    kmax = (1 << (residual_bits - 1)) - 1
+    return c0, stepfloor, endval, kmax
+
+
 @lru_cache(maxsize=None)
 def dqt(residual_bits: int, scale_factor_bits: int) -> np.ndarray:
     """int32[2^sfb, 2^rb] dequant table (reference src/codec/dqt.rs:99-126).

@@ -10,8 +10,10 @@ Cache directory resolution, in order:
 1. ``SEA_JAX_CACHE=<dir>`` -- explicit override (``0`` disables).
 2. A repo-local ``.jax_cache`` directory next to the package, if present --
    the repo ships one pre-populated with the bench/CLI TPU programs so a
-   fresh host's first run starts warm. Skipped when ``JAX_PLATFORMS`` forces
-   a CPU backend (tests), so CPU entries don't pollute the shipped cache.
+   fresh host's first run starts warm. Used only when the ACTUAL default
+   backend is a TPU (detected via ``jax.devices()``, not just the
+   ``JAX_PLATFORMS`` env var), so CPU entries from CPU-only hosts don't
+   pollute the shipped cache.
 3. ``~/.cache/sea_codec_tpu/jax``.
 
 Opt-out with ``SEA_JAX_CACHE=0``.
@@ -39,9 +41,23 @@ def cache_dir() -> str | None:
         return None
     if setting not in ("", "1"):
         return setting
-    if os.path.isdir(_REPO_DIR) and "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+    if os.path.isdir(_REPO_DIR) and _tpu_backend():
         return _REPO_DIR
     return _DEFAULT_DIR
+
+
+def _tpu_backend() -> bool:
+    """True iff jax's default backend is a TPU. The env-var check alone is
+    not enough: a CPU-only host with JAX_PLATFORMS unset would otherwise
+    write CPU binaries into the shipped TPU cache."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def cache_entries() -> int:
