@@ -23,30 +23,45 @@ Methodology notes:
   per-call dispatch cost; every chunk decodes independently either way).
 - The headline's bitstreams come from the native C++ encoder, so the
   headline never waits on the TPU encoder's multi-minute cold compile.
-  Encode-side stages run right after, ordered most-wanted-first, each under
-  a budget guard that reserves time for the remaining stages.
 
-Budget robustness: SEA_BENCH_BUDGET seconds (default 540). The repo ships a
-pre-populated XLA compilation cache (.jax_cache/) so encoder programs load
-as warm binaries; stage guards degrade gracefully to null metrics when the
-cache misses and a cold compile eats the budget. Correctness assertions
-inside stages are recorded in ``failed_stages`` (never silently absorbed).
+Budget robustness (the relay's two failure modes, measured):
+- The first Mosaic program a process loads+runs pays a server-side init
+  whose cost is load-dependent: 0.5 s idle, 84/297/576 s observed under
+  load, with every later program load fast (2-17 s). The first stage here
+  is a deliberately tiny decode (also the correctness anchor) that absorbs
+  that one-time cost; its duration is reported as ``mosaic_init_s``.
+- A stage can therefore still blow the soft budget from inside a blocking
+  device call that no guard can preempt. All stages run on a worker
+  thread; the main thread is a watchdog that prints the JSON line with
+  whatever has completed at SEA_BENCH_HARD_S (default soft budget + 60 s)
+  and exits, so the driver always receives the line.
 
-Diagnostics go to stderr; the single JSON line goes to stdout.
+Soft budget: SEA_BENCH_BUDGET seconds (default 540); stage guards skip
+lower-priority stages when the remaining time is too short. The repo ships
+a pre-populated XLA compilation cache (.jax_cache/) so programs load as
+warm binaries (cache keys are caller-independent: see utils/cache.py).
+Correctness assertions inside stages are recorded in ``failed_stages``
+(never silently absorbed). Diagnostics go to stderr; the single JSON line
+goes to stdout.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
 T_START = time.perf_counter()
 BUDGET = float(os.environ.get("SEA_BENCH_BUDGET", "540"))
+HARD_S = float(os.environ.get("SEA_BENCH_HARD_S", str(BUDGET + 60)))
 FAILED: list[str] = []
+R: dict = {}  # results, written incrementally by the worker thread
+_EMITTED = threading.Lock()
 
 
 def log(*args):
@@ -57,11 +72,48 @@ def left() -> float:
     return BUDGET - (time.perf_counter() - T_START)
 
 
+def emit() -> None:
+    """Print the one JSON line from whatever R holds. First caller wins:
+    the watchdog and the normal completion path race benignly."""
+    if not _EMITTED.acquire(blocking=False):
+        return
+    rnd = lambda x, k=2: None if x is None else round(x, k)
+    baseline_per_chip = 500.0 / 8.0  # BASELINE.json: 500 Msamples/s on v5e-8
+    dev_msps = R.get("dev_msps")
+    out = {
+        "metric": "decode_Msamples_per_sec_per_chip",
+        "value": rnd(dev_msps),
+        "unit": "Msamples/s",
+        "vs_baseline": rnd(dev_msps / baseline_per_chip, 3) if dev_msps else None,
+        "end_to_end_decode_Msps": rnd(R.get("e2e_msps")),
+        "e2e_device_consumer_Msps": rnd(R.get("consumer_msps")),
+        "encode_Msps": rnd(R.get("enc_msps")),
+        "corpus_encode_Msps": rnd(R.get("corpus_msps")),
+        "corpus_encode_device_Msps": rnd(R.get("enc_dev_msps")),
+        "corpus1000_encode_Msps": rnd(R.get("enc1k_msps")),
+        "corpus1000_decode_Msps": rnd(R.get("dec1k_msps")),
+        "mono_roundtrip_ms": rnd(R.get("t_mono_ms"), 1),
+        "multichannel8_roundtrip_ms": rnd(R.get("t_8_ms"), 1),
+        "vbr_corpus_encode_Msps": rnd(R.get("vbr_msps")),
+        "vbr_decode_device_Msps": rnd(R.get("vbr_dec_msps")),
+        "vbr_encode_device_Msps": rnd(R.get("vbr_enc_dev_msps")),
+        "compression_ratio": rnd(R.get("ratio")),
+        "psnr_db": rnd(R.get("psnr"), 1),
+        "decode_vs_native_ok": bool(R.get("headline_ok")),
+        "failed_stages": FAILED,
+        "mosaic_init_s": rnd(R.get("mosaic_init_s"), 1),
+        "n_decode_samples": R.get("n_dec_samples"),
+        "pallas": R.get("pallas"),
+        "platform": R.get("platform"),
+    }
+    print(json.dumps(out), flush=True)
+
+
 def stage(name: str, need_s: float, fn, reserve: float = 0.0):
-    """Run a stage if ``need_s`` fits in the remaining budget after keeping
-    ``reserve`` seconds for the stages that follow. Correctness assertions
-    are recorded in FAILED (visible in the JSON) instead of being silently
-    absorbed into a null metric."""
+    """Run a stage if ``need_s`` fits in the remaining soft budget after
+    keeping ``reserve`` seconds for the stages that follow. Correctness
+    assertions are recorded in FAILED (visible in the JSON) instead of
+    being silently absorbed into a null metric."""
     if left() < need_s + reserve:
         log(f"[skip] {name}: {left():.0f}s left < {need_s:.0f}s + {reserve:.0f}s reserve")
         return None
@@ -81,7 +133,7 @@ def stage(name: str, need_s: float, fn, reserve: float = 0.0):
         return None
 
 
-def main() -> None:
+def worker() -> None:
     sys.path.insert(0, ".")
     from sea_codec_tpu.utils.cache import (
         cache_dir,
@@ -96,7 +148,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from sea_codec_tpu import EncoderSettings
+    from sea_codec_tpu import EncoderSettings, sea_decode, sea_encode
     from sea_codec_tpu.batch import (
         decode_corpus,
         decode_sea,
@@ -120,12 +172,15 @@ def main() -> None:
     )
 
     dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform}); budget {BUDGET:.0f}s")
+    R["platform"] = dev.platform
+    log(f"device: {dev} ({dev.platform}); soft budget {BUDGET:.0f}s, "
+        f"hard {HARD_S:.0f}s")
 
     channels = 2
     fpc = 5120
     settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=fpc)
     use_pallas = default_use_pallas()
+    R["pallas"] = bool(use_pallas)
     rng = np.random.default_rng(7)
 
     def device_tile(a, reps):
@@ -164,9 +219,12 @@ def main() -> None:
                 break  # relay stall: keep the reps we have, bound the damage
         return min(ts)
 
-    # ================= D1: device decode (HEADLINE), runs FIRST =============
-    # Bytes come from the native C++ encoder (16 distinct varied-content
-    # files), so the headline never depends on the encoder compile.
+    # ====== S0: correctness anchor doubling as the Mosaic init absorber ======
+    # The first Mosaic program a process loads pays a server-side one-time
+    # cost with load-dependent variance (0.5-576 s observed). Pay it on the
+    # smallest useful program -- the single-file decode that anchors device
+    # decode against the independent native codec -- so every stage after
+    # sees realistic warm-load costs (2-17 s) and the guards stay accurate.
     assert native_available(), "native codec unavailable"
     t0 = time.perf_counter()
     d1_files = [varied_signal(channels, 8 * fpc, seed=1000 + i) for i in range(16)]
@@ -175,9 +233,32 @@ def main() -> None:
         for f in d1_files
     ]
     log(f"native encode of 16 varied base files: {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
     _hdr, cfg, cat = parsed_concat(d1_blobs)  # 128 diverse chunks
     dqt_flat = jnp.asarray(tables.dqt_stacked(cfg.scale_factor_bits).reshape(-1), jnp.int32)
+
+    def x_init_check():
+        t0 = time.perf_counter()
+        h0, rect0, _ = split_chunks(d1_blobs[0])
+        b0 = parse_full_chunks(rect0, h0)
+        out = decode_chunks_packed(
+            jnp.asarray(b0.res_bytes), jnp.asarray(b0.sf), jnp.asarray(b0.rs),
+            jnp.asarray(b0.hist), jnp.asarray(b0.wts), dqt_flat,
+            scale_factor_frames=b0.scale_factor_frames, frames=fpc,
+            residual_size=b0.residual_size, use_pallas=use_pallas,
+        )
+        got = np.asarray(out).reshape(-1)
+        R["mosaic_init_s"] = time.perf_counter() - t0
+        log(f"  [mosaic init (load roulette) {R['mosaic_init_s']:.1f}s]")
+        want, _r, _c = native_decode(d1_blobs[0])
+        assert np.array_equal(got, want), "device decode != native decode"
+        return True
+
+    R["headline_ok"] = stage("init_check", 0, x_init_check)
+
+    # ================= D1: device decode (HEADLINE) =========================
+    # Unguarded: with init absorbed this is ~10 s warm; if the roulette ate
+    # the budget anyway, the watchdog still prints whatever completed.
+    t0 = time.perf_counter()
     decode_mult = 768  # 98304 chunks / 1007M samples per decode call
     # (relay adds ~30 ms fixed dispatch+probe cost per call; the batch size
     # amortizes it -- the r2 sweep measured 3881/4858/4998 Msps at mult
@@ -185,8 +266,9 @@ def main() -> None:
     args = tuple(
         device_tile(a, (decode_mult,) + (1,) * (a.ndim - 1)) for a in cat
     )
-    log(f"  [parse+upload+tile {time.perf_counter() - t0:.1f}s]")
+    log(f"  [upload+tile {time.perf_counter() - t0:.1f}s]")
     n_dec_samples = cat[0].shape[0] * decode_mult * fpc * channels
+    R["n_dec_samples"] = n_dec_samples
 
     def dev_decode():
         return decode_chunks_packed(
@@ -198,63 +280,10 @@ def main() -> None:
         )
 
     t_dev = timed_device(dev_decode, lambda o: np.asarray(o[0, 0, 0]), reps=10)
-    dev_msps = n_dec_samples / t_dev / 1e6
+    R["dev_msps"] = n_dec_samples / t_dev / 1e6
     log(f"decode device (pallas={use_pallas}, {cat[0].shape[0]} diverse chunks "
-        f"x{decode_mult}): {t_dev * 1e3:.1f} ms = {dev_msps:.1f} Msamples/s")
+        f"x{decode_mult}): {t_dev * 1e3:.1f} ms = {R['dev_msps']:.1f} Msamples/s")
     del args  # release the tiled batch before the encode stages
-
-    # correctness anchor: device decode of file 0 == native scalar decode
-    def x_headline_check():
-        h0, rect0, _ = split_chunks(d1_blobs[0])
-        b0 = parse_full_chunks(rect0, h0)
-        out = decode_chunks_packed(
-            jnp.asarray(b0.res_bytes), jnp.asarray(b0.sf), jnp.asarray(b0.rs),
-            jnp.asarray(b0.hist), jnp.asarray(b0.wts), dqt_flat,
-            scale_factor_frames=b0.scale_factor_frames, frames=fpc,
-            residual_size=b0.residual_size, use_pallas=use_pallas,
-        )
-        got = np.asarray(out).reshape(-1)
-        want, _r, _c = native_decode(d1_blobs[0])
-        assert np.array_equal(got, want), "device decode != native decode"
-        return True
-
-    headline_ok = stage("headline_check", 15, x_headline_check)
-
-    # ============ D2: VBR device decode (native VBR bytes, diverse) =========
-    def x_vbr_decode():
-        stv_bits = 2.5
-        files_v = [varied_signal(channels, 8 * fpc, seed=2000 + i) for i in range(8)]
-        blobs_v = [
-            native_encode(f, TEST_SAMPLE_RATE, channels, residual_bits=stv_bits,
-                          frames_per_chunk=fpc, vbr=True)
-            for f in files_v
-        ]
-        _hv, cfg_v, cat_v = parsed_concat(blobs_v)  # 64 diverse VBR chunks
-        dqt_v = jnp.asarray(
-            tables.dqt_stacked(cfg_v.scale_factor_bits).reshape(-1), jnp.int32
-        )
-        mult_v = 768  # 49152 chunks / 503M samples per call
-        args_v = tuple(
-            device_tile(a, (mult_v,) + (1,) * (a.ndim - 1)) for a in cat_v
-        )
-        n_v = cat_v[0].shape[0] * mult_v * fpc * channels
-        mcb = batch_max_code_bits(cat_v[2], cfg_v.residual_size)
-
-        def dev_decode_v():
-            return decode_chunks_packed(
-                *args_v, dqt_v,
-                scale_factor_frames=cfg_v.scale_factor_frames, frames=fpc,
-                residual_size=cfg_v.residual_size, use_pallas=use_pallas,
-                max_code_bits=mcb,
-            )
-
-        t = timed_device(dev_decode_v, lambda o: np.asarray(o[0, 0, 0]), reps=6)
-        msps = n_v / t / 1e6
-        log(f"VBR decode device (64 diverse chunks x{mult_v}, max_code_bits="
-            f"{mcb}): {t * 1e3:.1f} ms = {msps:.1f} Msamples/s")
-        return msps
-
-    vbr_dec_msps = stage("vbr_decode_device", 60, x_vbr_decode, reserve=30)
 
     # =============== E: encode-side metrics, most-wanted first ==============
     # Corpus files are varied in content (distinct seeds) AND length (ragged
@@ -307,37 +336,7 @@ def main() -> None:
             f"{t:.2f}s = {msps:.1f} Msamples/s")
         return msps
 
-    corpus_msps = stage("corpus_encode", 90, x_corpus_encode, reserve=140)
-
-    def x_corpus1k():
-        corpus1k = corpus256 + make_corpus(744, seed0=10000)
-        n_1k = sum(f.shape[0] for f in corpus1k)
-        t0 = time.perf_counter()
-        enc1k = encode_corpus(corpus1k, TEST_SAMPLE_RATE, channels, settings)
-        t_enc1k = time.perf_counter() - t0
-        enc_msps_1k = n_1k / t_enc1k / 1e6
-        log(f"corpus encode e2e (1000 varied stereo files, {n_1k / 1e6:.0f} "
-            f"Msamples): {t_enc1k:.2f}s = {enc_msps_1k:.1f} Msamples/s")
-        if left() < 60 + 140:
-            return enc_msps_1k, None
-        t0 = time.perf_counter()
-        dec1k = decode_corpus(enc1k)
-        t_dec1k = time.perf_counter() - t0
-        dec_msps_1k = n_1k / t_dec1k / 1e6
-        assert all(
-            d is not None and d.samples.shape[0] == f.shape[0]
-            for d, f in zip(dec1k, corpus1k)
-        )
-        i = int(rng.integers(1000))
-        want, _r, _c = native_decode(enc1k[i])
-        assert np.array_equal(np.asarray(dec1k[i].samples), want), \
-            "corpus decode != native decode"
-        log(f"corpus decode e2e (1000 files, incl. full PCM fetch): "
-            f"{t_dec1k:.2f}s = {dec_msps_1k:.1f} Msamples/s")
-        return enc_msps_1k, dec_msps_1k
-
-    r1k = stage("corpus1000", 100, x_corpus1k, reserve=140) or (None, None)
-    enc1k_msps, dec1k_msps = r1k
+    R["corpus_msps"] = stage("corpus_encode", 40, x_corpus_encode, reserve=60)
 
     def x_device_encode():
         # device-resident corpus encode: the EXACT program encode_corpus
@@ -375,7 +374,7 @@ def main() -> None:
             f"{t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
         return msps
 
-    enc_dev_msps = stage("device_encode", 45, x_device_encode, reserve=130)
+    R["enc_dev_msps"] = stage("device_encode", 30, x_device_encode, reserve=60)
 
     stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
 
@@ -391,7 +390,7 @@ def main() -> None:
         log(f"VBR corpus encode (64 varied stereo files): {t:.2f}s = {msps:.1f} Msamples/s")
         return msps
 
-    vbr_msps = stage("vbr_corpus", 80, x_vbr, reserve=110)
+    R["vbr_msps"] = stage("vbr_corpus", 35, x_vbr, reserve=55)
 
     def x_device_encode_vbr():
         # device-resident VBR corpus encode (fused two-pass search + on-device
@@ -440,7 +439,75 @@ def main() -> None:
             f"{t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
         return msps
 
-    vbr_enc_dev_msps = stage("device_encode_vbr", 45, x_device_encode_vbr, reserve=100)
+    R["vbr_enc_dev_msps"] = stage("device_encode_vbr", 25, x_device_encode_vbr,
+                                  reserve=50)
+
+    # ============ D2: VBR device decode (native VBR bytes, diverse) =========
+    def x_vbr_decode():
+        stv_bits = 2.5
+        files_v = [varied_signal(channels, 8 * fpc, seed=2000 + i) for i in range(8)]
+        blobs_v = [
+            native_encode(f, TEST_SAMPLE_RATE, channels, residual_bits=stv_bits,
+                          frames_per_chunk=fpc, vbr=True)
+            for f in files_v
+        ]
+        _hv, cfg_v, cat_v = parsed_concat(blobs_v)  # 64 diverse VBR chunks
+        dqt_v = jnp.asarray(
+            tables.dqt_stacked(cfg_v.scale_factor_bits).reshape(-1), jnp.int32
+        )
+        mult_v = 768  # 49152 chunks / 503M samples per call
+        args_v = tuple(
+            device_tile(a, (mult_v,) + (1,) * (a.ndim - 1)) for a in cat_v
+        )
+        n_v = cat_v[0].shape[0] * mult_v * fpc * channels
+        mcb = batch_max_code_bits(cat_v[2], cfg_v.residual_size)
+
+        def dev_decode_v():
+            return decode_chunks_packed(
+                *args_v, dqt_v,
+                scale_factor_frames=cfg_v.scale_factor_frames, frames=fpc,
+                residual_size=cfg_v.residual_size, use_pallas=use_pallas,
+                max_code_bits=mcb,
+            )
+
+        t = timed_device(dev_decode_v, lambda o: np.asarray(o[0, 0, 0]), reps=6)
+        msps = n_v / t / 1e6
+        log(f"VBR decode device (64 diverse chunks x{mult_v}, max_code_bits="
+            f"{mcb}): {t * 1e3:.1f} ms = {msps:.1f} Msamples/s")
+        return msps
+
+    R["vbr_dec_msps"] = stage("vbr_decode_device", 25, x_vbr_decode, reserve=45)
+
+    def x_corpus1k():
+        corpus1k = corpus256 + make_corpus(744, seed0=10000)
+        n_1k = sum(f.shape[0] for f in corpus1k)
+        t0 = time.perf_counter()
+        enc1k = encode_corpus(corpus1k, TEST_SAMPLE_RATE, channels, settings)
+        t_enc1k = time.perf_counter() - t0
+        enc_msps_1k = n_1k / t_enc1k / 1e6
+        R["enc1k_msps"] = enc_msps_1k
+        log(f"corpus encode e2e (1000 varied stereo files, {n_1k / 1e6:.0f} "
+            f"Msamples): {t_enc1k:.2f}s = {enc_msps_1k:.1f} Msamples/s")
+        if left() < 75 + 40:
+            return True
+        t0 = time.perf_counter()
+        dec1k = decode_corpus(enc1k)
+        t_dec1k = time.perf_counter() - t0
+        dec_msps_1k = n_1k / t_dec1k / 1e6
+        assert all(
+            d is not None and d.samples.shape[0] == f.shape[0]
+            for d, f in zip(dec1k, corpus1k)
+        )
+        i = int(rng.integers(1000))
+        want, _r, _c = native_decode(enc1k[i])
+        assert np.array_equal(np.asarray(dec1k[i].samples), want), \
+            "corpus decode != native decode"
+        R["dec1k_msps"] = dec_msps_1k
+        log(f"corpus decode e2e (1000 files, incl. full PCM fetch): "
+            f"{t_dec1k:.2f}s = {dec_msps_1k:.1f} Msamples/s")
+        return True
+
+    stage("corpus1000", 100, x_corpus1k, reserve=40)
 
     def x_mono():
         mono = varied_signal(1, 16 * fpc, seed=60000)
@@ -454,9 +521,7 @@ def main() -> None:
         log(f"mono CBR-3 round trip (81920 frames, single file): {t * 1e3:.0f} ms")
         return t * 1e3
 
-    from sea_codec_tpu import sea_decode, sea_encode
-
-    t_mono_ms = stage("mono_roundtrip", 40, x_mono, reserve=90)
+    R["t_mono_ms"] = stage("mono_roundtrip", 15, x_mono, reserve=30)
 
     def x_8ch():
         st8 = EncoderSettings(
@@ -473,7 +538,7 @@ def main() -> None:
         log(f"8-channel + metadata round trip (8000 frames, single file): {t * 1e3:.0f} ms")
         return t * 1e3
 
-    t_8_ms = stage("8ch_roundtrip", 40, x_8ch, reserve=70)
+    R["t_8_ms"] = stage("8ch_roundtrip", 15, x_8ch, reserve=25)
 
     # single-file encode e2e (tunnel-bound; also feeds the e2e decode stages)
     samples_1 = varied_signal(channels, 128 * fpc, seed=777)
@@ -487,22 +552,20 @@ def main() -> None:
         t = time.perf_counter() - t0
         enc_cell.append(encoded)
         msps = n_samples / t / 1e6
-        ratio = 2 * n_samples / len(encoded)
+        R["ratio"] = 2 * n_samples / len(encoded)
         log(f"encode e2e (single 128-chunk stereo file): {t:.2f}s = "
-            f"{msps:.2f} Msamples/s, ratio {ratio:.2f}x")
-        return msps, ratio
+            f"{msps:.2f} Msamples/s, ratio {R['ratio']:.2f}x")
+        return msps
 
-    r_enc = stage("encode_file", 40, x_encode_file, reserve=55) or (None, None)
-    enc_msps, ratio = r_enc
+    R["enc_msps"] = stage("encode_file", 15, x_encode_file, reserve=15)
     if not enc_cell:
         # encoder skipped: native bytes keep the e2e decode stages honest
         enc_cell.append(
             native_encode(samples_1, TEST_SAMPLE_RATE, channels, frames_per_chunk=fpc))
-        ratio = ratio or round(2 * n_samples / len(enc_cell[0]), 2)
+        if R.get("ratio") is None:
+            R["ratio"] = round(2 * n_samples / len(enc_cell[0]), 2)
 
     # ================= D3/D4: end-to-end decode + quality ===================
-    psnr_cell: list = []
-
     def x_e2e_decode():
         encoded = enc_cell[0]
         decode_sea(encoded)
@@ -513,13 +576,13 @@ def main() -> None:
         t = (time.perf_counter() - t0) / reps
         assert decoded.samples.shape[0] == n_samples
         _rms, psnr = audio_quality(samples_1, np.asarray(decoded.samples))
-        psnr_cell.append(psnr)
+        R["psnr"] = psnr
         msps = n_samples / t / 1e6
         log(f"decode end-to-end (incl. tunnel PCM fetch): {t * 1e3:.1f} ms = "
             f"{msps:.1f} Msamples/s; psnr {psnr:.1f} dB")
         return msps
 
-    e2e_msps = stage("e2e_decode", 30, x_e2e_decode, reserve=25)
+    R["e2e_msps"] = stage("e2e_decode", 10, x_e2e_decode, reserve=10)
 
     def x_device_consumer():
         # production-shaped e2e: bytes -> device decode -> downstream device
@@ -589,43 +652,22 @@ def main() -> None:
             f"{psnr_dev:.1f} dB")
         return msps
 
-    consumer_msps = stage("e2e_device_consumer", 25, x_device_consumer)
+    R["consumer_msps"] = stage("e2e_device_consumer", 10, x_device_consumer)
 
-    psnr = psnr_cell[0] if psnr_cell else None
     n_cache1 = cache_entries()
     log(f"compilation cache: {n_cache1} entries ({n_cache1 - n_cache0:+d} this run)")
 
-    baseline_per_chip = 500.0 / 8.0  # BASELINE.json: 500 Msamples/s on v5e-8
-    rnd = lambda x, k=2: None if x is None else round(x, k)
-    print(
-        json.dumps(
-            {
-                "metric": "decode_Msamples_per_sec_per_chip",
-                "value": round(dev_msps, 2),
-                "unit": "Msamples/s",
-                "vs_baseline": round(dev_msps / baseline_per_chip, 3),
-                "end_to_end_decode_Msps": rnd(e2e_msps),
-                "e2e_device_consumer_Msps": rnd(consumer_msps),
-                "encode_Msps": rnd(enc_msps),
-                "corpus_encode_Msps": rnd(corpus_msps),
-                "corpus_encode_device_Msps": rnd(enc_dev_msps),
-                "corpus1000_encode_Msps": rnd(enc1k_msps),
-                "corpus1000_decode_Msps": rnd(dec1k_msps),
-                "mono_roundtrip_ms": rnd(t_mono_ms, 1),
-                "multichannel8_roundtrip_ms": rnd(t_8_ms, 1),
-                "vbr_corpus_encode_Msps": rnd(vbr_msps),
-                "vbr_decode_device_Msps": rnd(vbr_dec_msps),
-                "vbr_encode_device_Msps": rnd(vbr_enc_dev_msps),
-                "compression_ratio": rnd(ratio),
-                "psnr_db": rnd(psnr, 1),
-                "decode_vs_native_ok": bool(headline_ok),
-                "failed_stages": FAILED,
-                "n_decode_samples": n_dec_samples,
-                "pallas": bool(use_pallas),
-                "platform": dev.platform,
-            }
-        )
-    )
+
+def main() -> None:
+    signal.signal(signal.SIGTERM, lambda *_: (emit(), os._exit(0)))
+    w = threading.Thread(target=worker, daemon=True)
+    w.start()
+    w.join(max(5.0, HARD_S - (time.perf_counter() - T_START)))
+    if w.is_alive():
+        log(f"[watchdog] hard limit {HARD_S:.0f}s reached with a stage still "
+            f"running; emitting partial results")
+    emit()
+    os._exit(0)  # don't wait on a worker blocked in a device call
 
 
 if __name__ == "__main__":

@@ -86,6 +86,13 @@ def enable_compilation_cache() -> bool:
         # cache everything, however small or fast to compile
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # Mosaic kernels serialize their MLIR locations into the program,
+        # and with full tracebacks those locations include the CALLER's
+        # file:line stack -- so the same decode program called from
+        # bench.py vs a script got different cache keys, and any edit to a
+        # caller invalidated the shipped cache. Keep locations limited to
+        # the kernel's own source so keys depend only on kernel files.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
         _enabled = target
         return True
     except Exception:
