@@ -144,6 +144,10 @@ def worker() -> None:
     n_cache0 = cache_entries()
     enable_compilation_cache()
     log(f"compilation cache: {cache_dir()} ({n_cache0} entries)")
+    # cache keys depend on XLA flags and jax config: log anything that could
+    # explain a driver-side miss against the shipped entries
+    env_keys = [k for k in os.environ if k.startswith(("XLA_", "JAX_", "LIBTPU"))]
+    log("env:", {k: os.environ[k] for k in sorted(env_keys)})
 
     import jax
     import jax.numpy as jnp
