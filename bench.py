@@ -59,9 +59,14 @@ import numpy as np
 T_START = time.perf_counter()
 BUDGET = float(os.environ.get("SEA_BENCH_BUDGET", "540"))
 HARD_S = float(os.environ.get("SEA_BENCH_HARD_S", str(BUDGET + 60)))
+# SEA_BENCH_SMOKE=1: shrink the device batch multipliers/corpora so the FULL
+# stage list executes on a CPU backend in minutes -- validates every stage's
+# code path and the emit/watchdog plumbing, NOT performance. Never set by
+# the driver; numbers produced under smoke are meaningless.
+SMOKE = os.environ.get("SEA_BENCH_SMOKE") == "1"
 FAILED: list[str] = []
 R: dict = {}  # results, written incrementally by the worker thread
-_EMITTED = threading.Lock()
+_WROTE = False
 
 
 def log(*args):
@@ -73,9 +78,15 @@ def left() -> float:
 
 
 def emit() -> None:
-    """Print the one JSON line from whatever R holds. First caller wins:
-    the watchdog and the normal completion path race benignly."""
-    if not _EMITTED.acquire(blocking=False):
+    """Print the one JSON line from whatever R holds. The payload goes out
+    as a single unbuffered os.write (atomic at this size), so a SIGTERM
+    handler re-entering emit() on the main thread can never observe a
+    half-written line: if it interrupted emit() before the write it emits a
+    full line itself, and the worst race outcome (signal landing between
+    the write syscall and ``_WROTE = True``) is one duplicated VALID line,
+    never a truncated one."""
+    global _WROTE
+    if _WROTE:
         return
     rnd = lambda x, k=2: None if x is None else round(x, k)
     baseline_per_chip = 500.0 / 8.0  # BASELINE.json: 500 Msamples/s on v5e-8
@@ -106,15 +117,18 @@ def emit() -> None:
         "pallas": R.get("pallas"),
         "platform": R.get("platform"),
     }
-    print(json.dumps(out), flush=True)
+    os.write(1, (json.dumps(out) + "\n").encode())
+    _WROTE = True
 
 
-def stage(name: str, need_s: float, fn, reserve: float = 0.0):
+def stage(name: str, need_s: float, fn, reserve: float = 0.0, force: bool = False):
     """Run a stage if ``need_s`` fits in the remaining soft budget after
-    keeping ``reserve`` seconds for the stages that follow. Correctness
-    assertions are recorded in FAILED (visible in the JSON) instead of
-    being silently absorbed into a null metric."""
-    if left() < need_s + reserve:
+    keeping ``reserve`` seconds for the stages that follow (``force=True``
+    skips the budget check: for stages that must run whenever the process
+    runs at all, like the Mosaic-init absorber). Correctness assertions are
+    recorded in FAILED (visible in the JSON) instead of being silently
+    absorbed into a null metric."""
+    if not force and left() < need_s + reserve:
         log(f"[skip] {name}: {left():.0f}s left < {need_s:.0f}s + {reserve:.0f}s reserve")
         return None
     t0 = time.perf_counter()
@@ -134,6 +148,17 @@ def stage(name: str, need_s: float, fn, reserve: float = 0.0):
 
 
 def worker() -> None:
+    """Thread body: a crash anywhere must surface in the JSON (as a
+    ``worker:<Error>`` entry in failed_stages), not vanish into a
+    clean-looking all-null line with exit code 0."""
+    try:
+        _worker_body()
+    except BaseException as e:  # noqa: BLE001 -- recorded, then re-raised for stderr
+        FAILED.append(f"worker:{type(e).__name__}")
+        raise
+
+
+def _worker_body() -> None:
     sys.path.insert(0, ".")
     from sea_codec_tpu.utils.cache import (
         cache_dir,
@@ -152,6 +177,16 @@ def worker() -> None:
     import jax
     import jax.numpy as jnp
 
+    # sitecustomize pre-registers the TPU plugin and selects it
+    # programmatically, which overrides the JAX_PLATFORMS env var -- honor
+    # an explicit env choice (the CPU smoke test) via jax.config, like
+    # tests/conftest.py does. No-op under the driver (env already = plugin).
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from sea_codec_tpu import EncoderSettings, sea_decode, sea_encode
     from sea_codec_tpu.batch import (
         decode_corpus,
@@ -159,6 +194,7 @@ def worker() -> None:
         encode_corpus,
         encode_sea,
         parse_full_chunks,
+        parsed_concat,
         split_chunks,
     )
     from sea_codec_tpu.native.binding import available as native_available
@@ -193,21 +229,6 @@ def worker() -> None:
         return jax.block_until_ready(
             jax.jit(lambda x: jnp.tile(x, reps))(jnp.asarray(a))
         )
-
-    def parsed_concat(blobs):
-        """Concatenate the full-chunk batches of same-config files."""
-        header = None
-        fields: list[tuple] = []
-        for enc in blobs:
-            h, rect, _tail = split_chunks(enc)
-            if rect is None:
-                continue
-            b = parse_full_chunks(rect, h)
-            header = header or h
-            fields.append((b.res_bytes, b.sf, b.rs, b.hist, b.wts, b))
-        parts = list(zip(*fields))
-        cat = [np.concatenate(p, axis=0) for p in parts[:5]]
-        return header, parts[5][0], cat  # header, a ParsedBatch for config, arrays
 
     def timed_device(fn, probe, reps, rep_budget_s=30.0):
         t0 = time.perf_counter()
@@ -257,13 +278,16 @@ def worker() -> None:
         assert np.array_equal(got, want), "device decode != native decode"
         return True
 
-    R["headline_ok"] = stage("init_check", 0, x_init_check)
+    # force=True: the absorber must not be skippable -- a blown budget would
+    # otherwise push the init roulette into the unguarded timed headline and
+    # report the skip as decode_vs_native_ok=false
+    R["headline_ok"] = stage("init_check", 0, x_init_check, force=True)
 
     # ================= D1: device decode (HEADLINE) =========================
     # Unguarded: with init absorbed this is ~10 s warm; if the roulette ate
     # the budget anyway, the watchdog still prints whatever completed.
     t0 = time.perf_counter()
-    decode_mult = 768  # 98304 chunks / 1007M samples per decode call
+    decode_mult = 2 if SMOKE else 768  # 98304 chunks / 1007M samples per decode call
     # (relay adds ~30 ms fixed dispatch+probe cost per call; the batch size
     # amortizes it -- the r2 sweep measured 3881/4858/4998 Msps at mult
     # 192/512/768 and the int16 dq stream keeps 768 comfortable in HBM)
@@ -325,7 +349,7 @@ def worker() -> None:
             _rms, psnr = audio_quality(files[i], got)
             assert psnr < -10.0, f"{name}: psnr {psnr:.1f} dB"
 
-    corpus256 = make_corpus(256, seed0=0)
+    corpus256 = make_corpus(8 if SMOKE else 256, seed0=0)
     n_corpus256 = sum(f.shape[0] for f in corpus256)
 
     def x_corpus_encode():
@@ -349,7 +373,7 @@ def worker() -> None:
         from sea_codec_tpu.ops import lms as lms_ops
         from sea_codec_tpu.ops.encode_file import encode_corpus_cbr_packed_blocks
 
-        nb, nfb, ncb = 4, 64, 16  # 134M samples per call: the fixed ~25 ms
+        nb, nfb, ncb = (1, 4, 2) if SMOKE else (4, 64, 16)  # 134M samples per call: the fixed ~25 ms
         # relay dispatch is <2% of the call, so this measures device rate
         bb = nfb * channels
         one_file = varied_signal(channels, ncb * fpc, seed=31337)
@@ -383,7 +407,7 @@ def worker() -> None:
     stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
 
     def x_vbr():
-        vbr_files = make_corpus(64, seed0=50000)
+        vbr_files = make_corpus(4 if SMOKE else 64, seed0=50000)
         n_vbr = sum(f.shape[0] for f in vbr_files)
         encode_corpus(vbr_files, TEST_SAMPLE_RATE, channels, stv)
         t0 = time.perf_counter()
@@ -407,7 +431,7 @@ def worker() -> None:
         from sea_codec_tpu.ops import lms as lms_ops
         from sea_codec_tpu.ops.encode_file import encode_corpus_vbr_nv_blocks
 
-        nb, nfb, ncb = 4, 64, 16
+        nb, nfb, ncb = (1, 4, 2) if SMOKE else (4, 64, 16)
         bb = nfb * channels
         sff, sfb = settings.scale_factor_frames, settings.scale_factor_bits
         target = normalized_vbr_bitrate(np.float32(2.5), fpc, sfb, sff)
@@ -449,7 +473,10 @@ def worker() -> None:
     # ============ D2: VBR device decode (native VBR bytes, diverse) =========
     def x_vbr_decode():
         stv_bits = 2.5
-        files_v = [varied_signal(channels, 8 * fpc, seed=2000 + i) for i in range(8)]
+        files_v = [
+            varied_signal(channels, 8 * fpc, seed=2000 + i)
+            for i in range(2 if SMOKE else 8)
+        ]
         blobs_v = [
             native_encode(f, TEST_SAMPLE_RATE, channels, residual_bits=stv_bits,
                           frames_per_chunk=fpc, vbr=True)
@@ -459,7 +486,7 @@ def worker() -> None:
         dqt_v = jnp.asarray(
             tables.dqt_stacked(cfg_v.scale_factor_bits).reshape(-1), jnp.int32
         )
-        mult_v = 768  # 49152 chunks / 503M samples per call
+        mult_v = 2 if SMOKE else 768  # 49152 chunks / 503M samples per call
         args_v = tuple(
             device_tile(a, (mult_v,) + (1,) * (a.ndim - 1)) for a in cat_v
         )
@@ -483,7 +510,7 @@ def worker() -> None:
     R["vbr_dec_msps"] = stage("vbr_decode_device", 25, x_vbr_decode, reserve=45)
 
     def x_corpus1k():
-        corpus1k = corpus256 + make_corpus(744, seed0=10000)
+        corpus1k = corpus256 + make_corpus(8 if SMOKE else 744, seed0=10000)
         n_1k = sum(f.shape[0] for f in corpus1k)
         t0 = time.perf_counter()
         enc1k = encode_corpus(corpus1k, TEST_SAMPLE_RATE, channels, settings)
@@ -502,7 +529,7 @@ def worker() -> None:
             d is not None and d.samples.shape[0] == f.shape[0]
             for d, f in zip(dec1k, corpus1k)
         )
-        i = int(rng.integers(1000))
+        i = int(rng.integers(len(enc1k)))
         want, _r, _c = native_decode(enc1k[i])
         assert np.array_equal(np.asarray(dec1k[i].samples), want), \
             "corpus decode != native decode"
@@ -545,7 +572,7 @@ def worker() -> None:
     R["t_8_ms"] = stage("8ch_roundtrip", 15, x_8ch, reserve=25)
 
     # single-file encode e2e (tunnel-bound; also feeds the e2e decode stages)
-    samples_1 = varied_signal(channels, 128 * fpc, seed=777)
+    samples_1 = varied_signal(channels, (16 if SMOKE else 128) * fpc, seed=777)
     n_samples = samples_1.shape[0]
     enc_cell: list = []
 
@@ -596,7 +623,7 @@ def worker() -> None:
         encoded = enc_cell[0]
         hdr_c, rect_c, _ = split_chunks(encoded)
         bc = parse_full_chunks(rect_c, hdr_c)
-        mult_c = 384  # 49152 chunks / 503M samples: at mult 96 the ~28 ms
+        mult_c = 4 if SMOKE else 384  # 49152 chunks / 503M samples: at mult 96 the ~28 ms
         # relay dispatch was ~3/4 of the measurement (decode itself runs at
         # headline rate); 503M puts the fixed cost under 15% of the call
         args_c = tuple(

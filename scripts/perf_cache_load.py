@@ -18,6 +18,7 @@ cache hit/miss lines.
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import time
 
@@ -40,7 +41,7 @@ import jax.numpy as jnp
 
 jax.config.update("jax_explain_cache_misses", True)
 
-from sea_codec_tpu.batch import parse_full_chunks, split_chunks
+from sea_codec_tpu.batch import parsed_concat
 from sea_codec_tpu.native.binding import native_encode
 from sea_codec_tpu.ops import tables
 from sea_codec_tpu.ops.device_decode import (
@@ -64,16 +65,7 @@ def main() -> None:
     files = [varied_signal(channels, 8 * fpc, seed=1000 + i) for i in range(16)]
     blobs = [native_encode(f, TEST_SAMPLE_RATE, channels, frames_per_chunk=fpc)
              for f in files]
-    fields = []
-    header = None
-    for enc in blobs:
-        h, rect, _tail = split_chunks(enc)
-        b = parse_full_chunks(rect, h)
-        header = header or h
-        fields.append((b.res_bytes, b.sf, b.rs, b.hist, b.wts, b))
-    parts = list(zip(*fields))
-    cat = [np.concatenate(p, axis=0) for p in parts[:5]]
-    cfg = parts[5][0]
+    _header, cfg, cat = parsed_concat(blobs)  # same geometry as bench.py
     dqt_flat = jnp.asarray(
         tables.dqt_stacked(cfg.scale_factor_bits).reshape(-1), jnp.int32)
     mult = 768
@@ -91,6 +83,9 @@ def main() -> None:
         frames=fpc,
         residual_size=cfg.residual_size,
         use_pallas=use_pallas,
+        # mirror the public decode_chunks_packed wrapper's kill-switch so
+        # this diagnoses the SAME program the bench headline runs
+        fused=os.environ.get("SEA_FUSED_PROLOG") != "0",
     )
 
     t0 = time.perf_counter()

@@ -142,6 +142,30 @@ def split_chunks(encoded: bytes):
     return header, rect, tail
 
 
+def parsed_concat(blobs):
+    """Concatenate the full-chunk batches of same-config encoded files into
+    one decode batch: ``(header, cfg, [res_bytes, sf, rs, hist, wts])`` with
+    the arrays concatenated over chunks and ``cfg`` a ParsedBatch carrying
+    the shared config fields. Files with no full chunks are skipped (their
+    rectangular section is None). Shared by bench.py and the perf scripts so
+    the diagnosed program geometry can't drift from the benched one."""
+    header = None
+    cfg = None
+    fields: list[tuple] = []
+    for enc in blobs:
+        h, rect, _tail = split_chunks(enc)
+        if rect is None:
+            continue
+        b = parse_full_chunks(rect, h)
+        header = header or h
+        cfg = cfg if cfg is not None else b
+        fields.append((b.res_bytes, b.sf, b.rs, b.hist, b.wts))
+    if not fields:
+        raise SeaInvalidFrame("parsed_concat: no full chunks in any input")
+    cat = [np.concatenate(p, axis=0) for p in zip(*fields)]
+    return header, cfg, cat
+
+
 def decode_sea(encoded: bytes, device_batch: int = 1024) -> SeaDecodeInfo:
     """Fast batched decode of a whole .sea stream (bit-identical to the
     session decoder, which mirrors the reference chunk loop)."""

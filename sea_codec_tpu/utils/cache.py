@@ -83,17 +83,26 @@ def enable_compilation_cache() -> bool:
 
         os.makedirs(target, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", target)
+    except Exception:
+        return False
+    # The cache is active from here on; the remaining knobs are
+    # version-dependent tuning and must not un-enable it (nor leave
+    # ``_enabled`` unset while the cache dir is already configured).
+    _enabled = target
+    for flag, val in (
         # cache everything, however small or fast to compile
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        ("jax_persistent_cache_min_entry_size_bytes", -1),
+        ("jax_persistent_cache_min_compile_time_secs", 0.0),
         # Mosaic kernels serialize their MLIR locations into the program,
         # and with full tracebacks those locations include the CALLER's
         # file:line stack -- so the same decode program called from
         # bench.py vs a script got different cache keys, and any edit to a
         # caller invalidated the shipped cache. Keep locations limited to
         # the kernel's own source so keys depend only on kernel files.
-        jax.config.update("jax_include_full_tracebacks_in_locations", False)
-        _enabled = target
-        return True
-    except Exception:
-        return False
+        ("jax_include_full_tracebacks_in_locations", False),
+    ):
+        try:
+            jax.config.update(flag, val)
+        except Exception:  # jax version without this knob
+            pass
+    return True
