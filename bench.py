@@ -116,6 +116,10 @@ def emit() -> None:
         "n_decode_samples": R.get("n_dec_samples"),
         "pallas": R.get("pallas"),
         "platform": R.get("platform"),
+        # last checkpoint the worker reached -- identifies WHERE a hang ate
+        # the budget (e.g. "jax.devices()" = tunnel outage, never reached
+        # the codec at all) when the watchdog emits a partial line
+        "progress": R.get("progress"),
     }
     os.write(1, (json.dumps(out) + "\n").encode())
     _WROTE = True
@@ -131,6 +135,7 @@ def stage(name: str, need_s: float, fn, reserve: float = 0.0, force: bool = Fals
     if not force and left() < need_s + reserve:
         log(f"[skip] {name}: {left():.0f}s left < {need_s:.0f}s + {reserve:.0f}s reserve")
         return None
+    R["progress"] = f"stage:{name}"
     t0 = time.perf_counter()
     try:
         out = fn()
@@ -159,6 +164,7 @@ def worker() -> None:
 
 
 def _worker_body() -> None:
+    R["progress"] = "cache_setup"
     sys.path.insert(0, ".")
     from sea_codec_tpu.utils.cache import (
         cache_dir,
@@ -174,6 +180,7 @@ def _worker_body() -> None:
     env_keys = [k for k in os.environ if k.startswith(("XLA_", "JAX_", "LIBTPU"))]
     log("env:", {k: os.environ[k] for k in sorted(env_keys)})
 
+    R["progress"] = "import_jax"
     import jax
     import jax.numpy as jnp
 
@@ -211,6 +218,7 @@ def _worker_body() -> None:
         varied_signal,
     )
 
+    R["progress"] = "jax.devices()"
     dev = jax.devices()[0]
     R["platform"] = dev.platform
     log(f"device: {dev} ({dev.platform}); soft budget {BUDGET:.0f}s, "
@@ -251,6 +259,7 @@ def _worker_body() -> None:
     # decode against the independent native codec -- so every stage after
     # sees realistic warm-load costs (2-17 s) and the guards stay accurate.
     assert native_available(), "native codec unavailable"
+    R["progress"] = "native_prep"
     t0 = time.perf_counter()
     d1_files = [varied_signal(channels, 8 * fpc, seed=1000 + i) for i in range(16)]
     d1_blobs = [
@@ -286,6 +295,7 @@ def _worker_body() -> None:
     # ================= D1: device decode (HEADLINE) =========================
     # Unguarded: with init absorbed this is ~10 s warm; if the roulette ate
     # the budget anyway, the watchdog still prints whatever completed.
+    R["progress"] = "headline_decode"
     t0 = time.perf_counter()
     decode_mult = 2 if SMOKE else 768  # 98304 chunks / 1007M samples per decode call
     # (relay adds ~30 ms fixed dispatch+probe cost per call; the batch size
@@ -687,6 +697,7 @@ def _worker_body() -> None:
 
     n_cache1 = cache_entries()
     log(f"compilation cache: {n_cache1} entries ({n_cache1 - n_cache0:+d} this run)")
+    R["progress"] = "complete"
 
 
 def main() -> None:
