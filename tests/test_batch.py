@@ -98,6 +98,47 @@ def test_decode_corpus_matches_single():
         np.testing.assert_array_equal(np.asarray(r.samples), e)
 
 
+def test_parsed_concat_batches_same_config_files():
+    """parsed_concat (shared by bench.py and the perf scripts) concatenates
+    the full-chunk sections of same-config files and skips files without a
+    rectangular section; decoding the batch reproduces each file's PCM."""
+    from sea_codec_tpu.batch import parsed_concat
+    from sea_codec_tpu.utils.errors import SeaInvalidFrame
+    from sea_codec_tpu.ops import tables
+    from sea_codec_tpu.ops.device_decode import decode_chunks_packed
+
+    st = EncoderSettings(frames_per_chunk=1000)
+    sigs = []
+    blobs = []
+    for frames in (3000, 2000, 700):  # 700 < fpc: tail-only
+        s = gen_test_signal(2, frames)[: frames * 2]  # exact frame count
+        sigs.append(s)
+        blobs.append(sea_encode(s, TEST_SAMPLE_RATE, 2, st))
+    header, cfg, cat = parsed_concat(blobs)
+    assert header is not None
+    # 3 + 2 full chunks; the 700-frame file contributes none
+    assert cat[0].shape[0] == 5
+    import jax.numpy as jnp
+
+    dqt_flat = jnp.asarray(
+        tables.dqt_stacked(cfg.scale_factor_bits).reshape(-1), jnp.int32
+    )
+    pcm = np.asarray(
+        decode_chunks_packed(
+            *(jnp.asarray(a) for a in cat), dqt_flat,
+            scale_factor_frames=cfg.scale_factor_frames, frames=1000,
+            residual_size=cfg.residual_size,
+        )
+    )
+    want = np.asarray(sea_decode(blobs[0]).samples).reshape(-1, 2)[:3000]
+    np.testing.assert_array_equal(pcm[:3].reshape(-1, 2), want)
+    want1 = np.asarray(sea_decode(blobs[1]).samples).reshape(-1, 2)[:2000]
+    np.testing.assert_array_equal(pcm[3:5].reshape(-1, 2), want1)
+
+    with pytest.raises(SeaInvalidFrame):
+        parsed_concat([blobs[2]])  # no full chunks anywhere -> error
+
+
 def test_encode_corpus_lane_packed_on_cpu():
     """The lane-packed corpus path runs on every backend (XLA window kernel
     off-TPU) and stays byte-identical to per-file encoding."""
