@@ -120,6 +120,9 @@ def emit() -> None:
         # the budget (e.g. "jax.devices()" = tunnel outage, never reached
         # the codec at all) when the watchdog emits a partial line
         "progress": R.get("progress"),
+        # programs compiled this run beyond the shipped .jax_cache --
+        # 0 proves the warm-binary story held on the driver host
+        "cache_new_entries": R.get("cache_delta"),
     }
     os.write(1, (json.dumps(out) + "\n").encode())
     _WROTE = True
@@ -696,6 +699,7 @@ def _worker_body() -> None:
     R["consumer_msps"] = stage("e2e_device_consumer", 10, x_device_consumer)
 
     n_cache1 = cache_entries()
+    R["cache_delta"] = n_cache1 - n_cache0
     log(f"compilation cache: {n_cache1} entries ({n_cache1 - n_cache0:+d} this run)")
     R["progress"] = "complete"
 
