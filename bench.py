@@ -377,7 +377,13 @@ def _worker_body() -> None:
             f"{t:.2f}s = {msps:.1f} Msamples/s")
         return msps
 
-    R["corpus_msps"] = stage("corpus_encode", 40, x_corpus_encode, reserve=60)
+    # The BASELINE acceptance metrics (corpus/device/VBR encode, VBR decode,
+    # mono, 8ch, corpus1000) are force-run: under a large Mosaic-init
+    # roulette the old reserve guards skipped exactly these while cheap tail
+    # extras still ran -- the r2 failure shape. The watchdog bounds the
+    # damage at HARD_S either way, and R is written incrementally, so
+    # forcing can only add captured metrics, never lose one.
+    R["corpus_msps"] = stage("corpus_encode", 40, x_corpus_encode, force=True)
 
     def x_device_encode():
         # device-resident corpus encode: the EXACT program encode_corpus
@@ -415,7 +421,7 @@ def _worker_body() -> None:
             f"{t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
         return msps
 
-    R["enc_dev_msps"] = stage("device_encode", 30, x_device_encode, reserve=60)
+    R["enc_dev_msps"] = stage("device_encode", 30, x_device_encode, force=True)
 
     stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
 
@@ -431,7 +437,7 @@ def _worker_body() -> None:
         log(f"VBR corpus encode (64 varied stereo files): {t:.2f}s = {msps:.1f} Msamples/s")
         return msps
 
-    R["vbr_msps"] = stage("vbr_corpus", 35, x_vbr, reserve=55)
+    R["vbr_msps"] = stage("vbr_corpus", 35, x_vbr, force=True)
 
     def x_device_encode_vbr():
         # device-resident VBR corpus encode (fused two-pass search + on-device
@@ -481,7 +487,7 @@ def _worker_body() -> None:
         return msps
 
     R["vbr_enc_dev_msps"] = stage("device_encode_vbr", 25, x_device_encode_vbr,
-                                  reserve=50)
+                                  force=True)
 
     # ============ D2: VBR device decode (native VBR bytes, diverse) =========
     def x_vbr_decode():
@@ -520,7 +526,38 @@ def _worker_body() -> None:
             f"{mcb}): {t * 1e3:.1f} ms = {msps:.1f} Msamples/s")
         return msps
 
-    R["vbr_dec_msps"] = stage("vbr_decode_device", 25, x_vbr_decode, reserve=45)
+    R["vbr_dec_msps"] = stage("vbr_decode_device", 25, x_vbr_decode, force=True)
+
+    def x_mono():
+        mono = varied_signal(1, 16 * fpc, seed=60000)
+        sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)
+        t0 = time.perf_counter()
+        enc_m = sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)
+        dec_m = sea_decode(enc_m)
+        t = time.perf_counter() - t0
+        assert dec_m.samples.shape[0] == mono.shape[0]
+        assert np.array_equal(np.asarray(dec_m.samples), native_decode(enc_m)[0])
+        log(f"mono CBR-3 round trip (81920 frames, single file): {t * 1e3:.0f} ms")
+        return t * 1e3
+
+    R["t_mono_ms"] = stage("mono_roundtrip", 15, x_mono, force=True)
+
+    def x_8ch():
+        st8 = EncoderSettings(
+            residual_bits=3.0, frames_per_chunk=1000,
+            metadata="title=bench\nartist=sea\n",
+        )
+        eight = varied_signal(8, 8 * 1000, seed=60001)
+        sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
+        t0 = time.perf_counter()
+        enc_8 = sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
+        dec_8 = sea_decode(enc_8)
+        t = time.perf_counter() - t0
+        assert dec_8.channels == 8 and dec_8.samples.shape[0] == eight.shape[0]
+        log(f"8-channel + metadata round trip (8000 frames, single file): {t * 1e3:.0f} ms")
+        return t * 1e3
+
+    R["t_8_ms"] = stage("8ch_roundtrip", 15, x_8ch, force=True)
 
     def x_corpus1k():
         corpus1k = corpus256 + make_corpus(8 if SMOKE else 744, seed0=10000)
@@ -551,38 +588,11 @@ def _worker_body() -> None:
             f"{t_dec1k:.2f}s = {dec_msps_1k:.1f} Msamples/s")
         return True
 
-    stage("corpus1000", 100, x_corpus1k, reserve=40)
-
-    def x_mono():
-        mono = varied_signal(1, 16 * fpc, seed=60000)
-        sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)
-        t0 = time.perf_counter()
-        enc_m = sea_encode(mono, TEST_SAMPLE_RATE, 1, settings)
-        dec_m = sea_decode(enc_m)
-        t = time.perf_counter() - t0
-        assert dec_m.samples.shape[0] == mono.shape[0]
-        assert np.array_equal(np.asarray(dec_m.samples), native_decode(enc_m)[0])
-        log(f"mono CBR-3 round trip (81920 frames, single file): {t * 1e3:.0f} ms")
-        return t * 1e3
-
-    R["t_mono_ms"] = stage("mono_roundtrip", 15, x_mono, reserve=30)
-
-    def x_8ch():
-        st8 = EncoderSettings(
-            residual_bits=3.0, frames_per_chunk=1000,
-            metadata="title=bench\nartist=sea\n",
-        )
-        eight = varied_signal(8, 8 * 1000, seed=60001)
-        sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
-        t0 = time.perf_counter()
-        enc_8 = sea_encode(eight, TEST_SAMPLE_RATE, 8, st8)
-        dec_8 = sea_decode(enc_8)
-        t = time.perf_counter() - t0
-        assert dec_8.channels == 8 and dec_8.samples.shape[0] == eight.shape[0]
-        log(f"8-channel + metadata round trip (8000 frames, single file): {t * 1e3:.0f} ms")
-        return t * 1e3
-
-    R["t_8_ms"] = stage("8ch_roundtrip", 15, x_8ch, reserve=25)
+    # corpus1000 runs LAST of the acceptance set: it is the most expensive
+    # (~100 s), so under a stressed budget it is the natural sacrifice after
+    # every cheaper required metric has been captured. Guarded, not forced:
+    # its own decode leg also self-guards on left().
+    stage("corpus1000", 100, x_corpus1k, reserve=25)
 
     # single-file encode e2e (tunnel-bound; also feeds the e2e decode stages)
     samples_1 = varied_signal(channels, (16 if SMOKE else 128) * fpc, seed=777)
