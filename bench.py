@@ -167,7 +167,10 @@ def worker() -> None:
 
 
 def _worker_body() -> None:
-    R["progress"] = "cache_setup"
+    # cache-dir resolution probes the default backend (cache.py
+    # _tpu_backend -> jax.devices()), so a tunnel outage hangs HERE, not at
+    # the later jax.devices() checkpoint -- name the probe in the breadcrumb
+    R["progress"] = "cache_setup:jax.devices()"
     sys.path.insert(0, ".")
     from sea_codec_tpu.utils.cache import (
         cache_dir,

@@ -29,21 +29,29 @@ _REPO_DIR = os.path.join(
     ".jax_cache",
 )
 _enabled: str | None = None
+_resolved: list = []  # memoized cache_dir() result (may be None)
 
 
 def cache_dir() -> str | None:
     """The directory ``enable_compilation_cache`` will use (or used), or
-    None when caching is disabled."""
+    None when caching is disabled. Memoized: the backend probe inside
+    ``_tpu_backend`` initializes the default backend, which is expensive
+    (and blocks on a down TPU relay tunnel) -- it must run at most once."""
     if _enabled is not None:
         return _enabled
+    if _resolved:
+        return _resolved[0]
     setting = os.environ.get("SEA_JAX_CACHE", "")
     if setting == "0":
-        return None
-    if setting not in ("", "1"):
-        return setting
-    if os.path.isdir(_REPO_DIR) and _tpu_backend():
-        return _REPO_DIR
-    return _DEFAULT_DIR
+        out = None
+    elif setting not in ("", "1"):
+        out = setting
+    elif os.path.isdir(_REPO_DIR) and _tpu_backend():
+        out = _REPO_DIR
+    else:
+        out = _DEFAULT_DIR
+    _resolved.append(out)
+    return out
 
 
 def _tpu_backend() -> bool:
