@@ -123,6 +123,9 @@ def emit() -> None:
         # programs compiled this run beyond the shipped .jax_cache --
         # 0 proves the warm-binary story held on the driver host
         "cache_new_entries": R.get("cache_delta"),
+        # true = the TPU relay tunnel was unreachable and this line is the
+        # CPU-fallback correctness run, not a performance measurement
+        "tpu_outage": bool(R.get("tpu_outage")),
     }
     os.write(1, (json.dumps(out) + "\n").encode())
     _WROTE = True
@@ -167,11 +170,47 @@ def worker() -> None:
 
 
 def _worker_body() -> None:
+    global SMOKE
+    sys.path.insert(0, ".")
+
+    # Bounded device probe FIRST: jax.devices() blocks forever when the TPU
+    # relay tunnel is down (hours-long outages observed), and both the cache
+    # setup below and every stage would hang on it. Probe in a subprocess
+    # with a hard timeout; on failure fall back to CPU with the smoke-sized
+    # shapes so the artifact carries a correctness-proving, clearly-marked
+    # (platform=cpu, tpu_outage=true) line instead of all nulls. 150 s is
+    # ~15x a healthy tunnel's device init; the Mosaic load roulette happens
+    # at program load, not device init, so it cannot trip this.
+    R["progress"] = "device_probe"
+    import subprocess
+    plat = ""
+    try:
+        probe_code = (
+            "import os, jax\n"
+            # sitecustomize overrides the env var; honor it via jax.config
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "print(jax.devices()[0].platform)\n"
+        )
+        p = subprocess.run(
+            [sys.executable, "-c", probe_code],
+            capture_output=True, timeout=150, text=True,
+        )
+        if p.returncode == 0 and p.stdout.strip():
+            plat = p.stdout.strip().splitlines()[-1]
+    except Exception:
+        pass
+    if not plat:
+        log("[outage] bounded device probe failed/timed out; "
+            "falling back to CPU smoke shapes")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        R["tpu_outage"] = True
+        SMOKE = True
+
     # cache-dir resolution probes the default backend (cache.py
     # _tpu_backend -> jax.devices()), so a tunnel outage hangs HERE, not at
     # the later jax.devices() checkpoint -- name the probe in the breadcrumb
     R["progress"] = "cache_setup:jax.devices()"
-    sys.path.insert(0, ".")
     from sea_codec_tpu.utils.cache import (
         cache_dir,
         cache_entries,
