@@ -126,8 +126,14 @@ def check_sea_div() -> None:
 
 # ===================== check C: full kernel (interpret) ====================
 
-def _make_kernel_variant(s, l, sff, sffp, wb):
-    """pe._make_kernel with the two rewrites applied (unrolled form only)."""
+def _make_kernel_variant(s, l, sff, sffp, wb, all_valid=False):
+    """pe._make_kernel with the two rewrites applied (unrolled form only).
+
+    ``all_valid=True`` additionally drops every ``where(valid, ...)`` mask:
+    legal only when the caller guarantees nv == sff for every window/lane
+    (the corpus hot path -- ragged tails already batch into separate
+    lane-packed calls). Removes the select after each LMS update and the
+    rank-accumulate selects from the recurrence chain."""
     _shr = pe._shr
     _sea_base = None  # inline below
 
@@ -197,12 +203,19 @@ def _make_kernel_variant(s, l, sff, sffp, wb):
                 p_hi, p_lo = pe._weights_penalty_pair(w0, w1, w2, w3)
                 a_hi, a_lo = pe._pair_add(e_hi, e_lo, p_hi, p_lo)
                 n_hi, n_lo = pe._pair_add(rank_hi, rank_lo, a_hi, a_lo)
-                valid = jnp.int32(t) < nv
-                rank_hi = jnp.where(valid, n_hi, rank_hi)
-                rank_lo = jnp.where(valid, n_lo, rank_lo)
                 # q reconstructed off the recurrence chain
                 q_s[t] = (k << one) + neg.astype(jnp.int32)
                 delta = dq >> jnp.int32(4)
+                if all_valid:
+                    rank_hi, rank_lo = n_hi, n_lo
+                    w0 = w0 + jnp.where(h0 < 0, -delta, delta)
+                    w1 = w1 + jnp.where(h1 < 0, -delta, delta)
+                    w2 = w2 + jnp.where(h2 < 0, -delta, delta)
+                    w3 = w3 + jnp.where(h3 < 0, -delta, delta)
+                    return (h1, h2, h3, recon, w0, w1, w2, w3, rank_hi, rank_lo)
+                valid = jnp.int32(t) < nv
+                rank_hi = jnp.where(valid, n_hi, rank_hi)
+                rank_lo = jnp.where(valid, n_lo, rank_lo)
                 w0 = jnp.where(valid, w0 + jnp.where(h0 < 0, -delta, delta), w0)
                 w1 = jnp.where(valid, w1 + jnp.where(h1 < 0, -delta, delta), w1)
                 w2 = jnp.where(valid, w2 + jnp.where(h2 < 0, -delta, delta), w2)
@@ -275,7 +288,7 @@ def _make_kernel_variant(s, l, sff, sffp, wb):
 
 
 def run_variant(state, samples, nv, streams, wb, wp, sff, sfb, c,
-                interpret=False, l=0):
+                interpret=False, l=0, all_valid=False):
     """pe.run_window_search with the variant kernel."""
     s = 1 << sfb
     l = l or -(-c // 128) * 128
@@ -284,7 +297,7 @@ def run_variant(state, samples, nv, streams, wb, wp, sff, sfb, c,
     wc = samples.shape[0] // sff
     smp = jnp.zeros((wp, sffp, l), jnp.int32)
     smp = smp.at[:wc, :sff, :c].set(samples.reshape(wc, sff, c))
-    kernel = _make_kernel_variant(s, l, sff, sffp, wb)
+    kernel = _make_kernel_variant(s, l, sff, sffp, wb, all_valid=all_valid)
     zi = lambda w: w * 0
     out_shapes = (
         jax.ShapeDtypeStruct((wp, sffp, l), jnp.int32),
@@ -326,17 +339,21 @@ def check_kernel(interpret=True, seed=0, cases=None) -> None:
 
     rng = np.random.default_rng(seed)
     cases = cases or [
-        # (c, sff, sfb, n_windows, rs mode, ragged) -- small: interpret-mode
-        # tracing cost scales with windows x steps x ops
-        (2, 10, 4, 4, "const3", False),
-        (2, 5, 4, 4, "mixed", True),
-        (3, 5, 3, 4, "mixed", True),
-        (1, 10, 5, 2, "mixed", False),
-        (8, 5, 4, 4, "const8", True),
+        # (c, sff, sfb, n_windows, rs mode, ragged, all_valid) -- small:
+        # interpret-mode tracing cost scales with windows x steps x ops.
+        # all_valid cases need nw % wb == 0 (no padded windows) and no
+        # ragged tail -- the integration constraint of that variant.
+        (2, 10, 4, 4, "const3", False, False),
+        (2, 5, 4, 4, "mixed", True, False),
+        (3, 5, 3, 4, "mixed", True, False),
+        (1, 10, 5, 2, "mixed", False, False),
+        (8, 5, 4, 4, "const8", True, False),
+        (2, 10, 4, 8, "const3", False, True),
+        (3, 5, 4, 8, "mixed", False, True),
     ]
-    for c, sff, sfb, nw, mode, ragged in cases:
-        print(f"C. case c={c} sff={sff} sfb={sfb} {mode} ragged={ragged}...",
-              flush=True)
+    for c, sff, sfb, nw, mode, ragged, all_valid in cases:
+        print(f"C. case c={c} sff={sff} sfb={sfb} {mode} ragged={ragged}"
+              f" all_valid={all_valid}...", flush=True)
         if mode == "const3":
             rs = np.full((nw, c), 3, np.int32)
         elif mode == "const8":
@@ -364,17 +381,21 @@ def check_kernel(interpret=True, seed=0, cases=None) -> None:
             jnp.asarray(hist0), jnp.asarray(wts0), jnp.asarray(prev0),
             1 << sfb, c,
         )
+        if all_valid:
+            assert wp == nw and not ragged, "all_valid case has padded windows"
         raw = run_variant(state, jnp.asarray(samples), nv, streams, wb, wp,
-                          sff, sfb, c, interpret=interpret)
+                          sff, sfb, c, interpret=interpret, all_valid=all_valid)
         new = pe.unpack_outputs(*raw, nw, sff, c)
 
         names = ("sf", "codes", "ranks", "hist", "wts", "prev_sf")
         for nm, a, b in zip(names, ref, new):
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
-                err_msg=f"{nm} differs (c={c} sff={sff} sfb={sfb} {mode})",
+                err_msg=f"{nm} differs (c={c} sff={sff} sfb={sfb} {mode} "
+                        f"all_valid={all_valid})",
             )
-        print(f"C. kernel equality: OK c={c} sff={sff} sfb={sfb} {mode} ragged={ragged}")
+        print(f"C. kernel equality: OK c={c} sff={sff} sfb={sfb} {mode} "
+              f"ragged={ragged} all_valid={all_valid}")
 
 
 # ============================== TPU timing =================================
@@ -404,9 +425,11 @@ def time_tpu() -> None:
         st, sm, nv, streams, wb, wp, sff, sfb, c)[0])
     newf = jax.jit(lambda st, sm: run_variant(
         st, sm, nv, streams, wb, wp, sff, sfb, c)[0])
+    newav = jax.jit(lambda st, sm: run_variant(
+        st, sm, nv, streams, wb, wp, sff, sfb, c, all_valid=True)[0])
 
     n_samples = nw * sff * c
-    for name, fn in (("old", old), ("new", newf)):
+    for name, fn in (("old", old), ("new", newf), ("new+allvalid", newav)):
         out = fn(state, smp)
         jax.block_until_ready(out)
         ts = []
