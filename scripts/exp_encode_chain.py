@@ -126,14 +126,31 @@ def check_sea_div() -> None:
 
 # ===================== check C: full kernel (interpret) ====================
 
-def _make_kernel_variant(s, l, sff, sffp, wb, all_valid=False):
+def _make_kernel_variant(s, l, sff, sffp, wb, all_valid=False, cheap_rank=False):
     """pe._make_kernel with the two rewrites applied (unrolled form only).
 
     ``all_valid=True`` additionally drops every ``where(valid, ...)`` mask:
     legal only when the caller guarantees nv == sff for every window/lane
     (the corpus hot path -- ragged tails already batch into separate
     lane-packed calls). Removes the select after each LMS update and the
-    rank-accumulate selects from the recurrence chain."""
+    rank-accumulate selects from the recurrence chain.
+
+    ``cheap_rank=True`` replaces the generic u64-pair rank arithmetic with
+    exact narrow-domain forms (the throughput lever -- the penalty is ~60%
+    of per-step vector ops):
+
+    - err^2: |err| <= 65535 structurally (both operands clamped i16), so
+      the low-32 multiply IS the exact u32 value; the pair is (0, err*err).
+    - weights penalty (lms.rs:53-62): with h_i = w_i >> 9, r_i = w_i - h_i*512
+      (so 0 <= r_i < 512),
+        sum(w^2) = A*2^18 + B*2^10 + C,  A = sum(h^2), B = sum(h*r), C = sum(r^2)
+      and sum(w^2) >> 18 == A + (B>>8) + (((B & 255) << 10) + C) >> 18
+      EXACTLY in i32, valid while |w| < 2^23 (A <= 4*2^28 < 2^31; the
+      remainder term (B0<<10)+C < 2^21). p = max(s18 - 0x8ff, 0) then one
+      _sq64(p) gives the exact u64 penalty. |w| < 2^23 also bounds the
+      reference's own exact domain (its i64 sum / u64 p^2 wrap beyond
+      ~2^24); per-step growth is <= max|dqt|>>4 = 1693, so a chunk from
+      reset state stays below 2^20 with 5000x margin."""
     _shr = pe._shr
     _sea_base = None  # inline below
 
@@ -199,9 +216,31 @@ def _make_kernel_variant(s, l, sff, sffp, wb, all_valid=False):
                 dq = jnp.where(neg, -dq_abs, dq_abs)
                 recon = jnp.minimum(jnp.maximum(pred + dq, i16_min), i16_max)
                 err = smp - recon
-                e_hi, e_lo = pe._err_sq_pair(err)
-                p_hi, p_lo = pe._weights_penalty_pair(w0, w1, w2, w3)
-                a_hi, a_lo = pe._pair_add(e_hi, e_lo, p_hi, p_lo)
+                if cheap_rank:
+                    e2 = err * err  # exact u32 bit pattern (|err| <= 65535)
+                    nine = jnp.int32(9)
+                    g0 = w0 >> nine
+                    g1 = w1 >> nine
+                    g2 = w2 >> nine
+                    g3 = w3 >> nine
+                    r0 = w0 - (g0 << nine)
+                    r1 = w1 - (g1 << nine)
+                    r2 = w2 - (g2 << nine)
+                    r3 = w3 - (g3 << nine)
+                    A = g0 * g0 + g1 * g1 + g2 * g2 + g3 * g3
+                    B = g0 * r0 + g1 * r1 + g2 * r2 + g3 * r3
+                    C = r0 * r0 + r1 * r1 + r2 * r2 + r3 * r3
+                    s18 = (A + (B >> jnp.int32(8))
+                           + ((((B & jnp.int32(255)) << jnp.int32(10)) + C)
+                              >> jnp.int32(18)))
+                    p = jnp.maximum(s18 - jnp.int32(0x8FF), zero)
+                    p_hi, p_lo = pe._sq64(p)
+                    a_lo = p_lo + e2
+                    a_hi = p_hi + pe._ult(a_lo, e2).astype(jnp.int32)
+                else:
+                    e_hi, e_lo = pe._err_sq_pair(err)
+                    p_hi, p_lo = pe._weights_penalty_pair(w0, w1, w2, w3)
+                    a_hi, a_lo = pe._pair_add(e_hi, e_lo, p_hi, p_lo)
                 n_hi, n_lo = pe._pair_add(rank_hi, rank_lo, a_hi, a_lo)
                 # q reconstructed off the recurrence chain
                 q_s[t] = (k << one) + neg.astype(jnp.int32)
@@ -288,7 +327,7 @@ def _make_kernel_variant(s, l, sff, sffp, wb, all_valid=False):
 
 
 def run_variant(state, samples, nv, streams, wb, wp, sff, sfb, c,
-                interpret=False, l=0, all_valid=False):
+                interpret=False, l=0, all_valid=False, cheap_rank=False):
     """pe.run_window_search with the variant kernel."""
     s = 1 << sfb
     l = l or -(-c // 128) * 128
@@ -297,7 +336,8 @@ def run_variant(state, samples, nv, streams, wb, wp, sff, sfb, c,
     wc = samples.shape[0] // sff
     smp = jnp.zeros((wp, sffp, l), jnp.int32)
     smp = smp.at[:wc, :sff, :c].set(samples.reshape(wc, sff, c))
-    kernel = _make_kernel_variant(s, l, sff, sffp, wb, all_valid=all_valid)
+    kernel = _make_kernel_variant(s, l, sff, sffp, wb, all_valid=all_valid,
+                                  cheap_rank=cheap_rank)
     zi = lambda w: w * 0
     out_shapes = (
         jax.ShapeDtypeStruct((wp, sffp, l), jnp.int32),
@@ -339,21 +379,28 @@ def check_kernel(interpret=True, seed=0, cases=None) -> None:
 
     rng = np.random.default_rng(seed)
     cases = cases or [
-        # (c, sff, sfb, n_windows, rs mode, ragged, all_valid) -- small:
-        # interpret-mode tracing cost scales with windows x steps x ops.
-        # all_valid cases need nw % wb == 0 (no padded windows) and no
-        # ragged tail -- the integration constraint of that variant.
-        (2, 10, 4, 4, "const3", False, False),
-        (2, 5, 4, 4, "mixed", True, False),
-        (3, 5, 3, 4, "mixed", True, False),
-        (1, 10, 5, 2, "mixed", False, False),
-        (8, 5, 4, 4, "const8", True, False),
-        (2, 10, 4, 8, "const3", False, True),
-        (3, 5, 4, 8, "mixed", False, True),
+        # (c, sff, sfb, n_windows, rs mode, ragged, all_valid, cheap_rank)
+        # -- small: interpret-mode tracing cost scales with windows x steps
+        # x ops. all_valid cases need nw % wb == 0 (no padded windows) and
+        # no ragged tail -- the integration constraint of that variant.
+        (2, 10, 4, 4, "const3", False, False, False),
+        (2, 5, 4, 4, "mixed", True, False, False),
+        (3, 5, 3, 4, "mixed", True, False, False),
+        (1, 10, 5, 2, "mixed", False, False, False),
+        (8, 5, 4, 4, "const8", True, False, False),
+        (2, 10, 4, 8, "const3", False, True, False),
+        (3, 5, 4, 8, "mixed", False, True, False),
+        # cheap_rank: normal content, ragged, all_valid, and the
+        # domain-edge big-weights stress (penalty heavily nonzero)
+        (2, 10, 4, 4, "const3", False, False, True),
+        (2, 5, 4, 4, "mixed", True, False, True),
+        (3, 5, 4, 8, "mixed", False, True, True),
+        (2, 10, 4, 4, "bigw", False, False, True),
+        (8, 5, 4, 4, "bigw", True, False, True),
     ]
-    for c, sff, sfb, nw, mode, ragged, all_valid in cases:
+    for c, sff, sfb, nw, mode, ragged, all_valid, cheap_rank in cases:
         print(f"C. case c={c} sff={sff} sfb={sfb} {mode} ragged={ragged}"
-              f" all_valid={all_valid}...", flush=True)
+              f" all_valid={all_valid} cheap_rank={cheap_rank}...", flush=True)
         if mode == "const3":
             rs = np.full((nw, c), 3, np.int32)
         elif mode == "const8":
@@ -365,7 +412,15 @@ def check_kernel(interpret=True, seed=0, cases=None) -> None:
         if ragged:
             n_valid[-1] = sff - 2
         hist0 = np.tile(lms_ops.initial_history(1), (c, 1)).astype(np.int32)
-        wts0 = np.tile(lms_ops.initial_weights(1), (c, 1)).astype(np.int32)
+        if mode == "bigw":
+            # weights near the cheap_rank exactness domain edge (|w| < 2^23):
+            # entry |w| up to ~2^22, growth over the whole case is
+            # nw*sff*1693 << 2^22, so every step stays in-domain while the
+            # penalty is wildly nonzero (p ~ 2^15) -- stresses s18 and
+            # _sq64(p) against the generic u64-pair path.
+            wts0 = rng.integers(-(1 << 22), 1 << 22, size=(c, 4)).astype(np.int32)
+        else:
+            wts0 = np.tile(lms_ops.initial_weights(1), (c, 1)).astype(np.int32)
         prev0 = np.zeros(c, np.int32)
 
         ref = pe.encode_windows_pallas_fn(
@@ -384,7 +439,8 @@ def check_kernel(interpret=True, seed=0, cases=None) -> None:
         if all_valid:
             assert wp == nw and not ragged, "all_valid case has padded windows"
         raw = run_variant(state, jnp.asarray(samples), nv, streams, wb, wp,
-                          sff, sfb, c, interpret=interpret, all_valid=all_valid)
+                          sff, sfb, c, interpret=interpret, all_valid=all_valid,
+                          cheap_rank=cheap_rank)
         new = pe.unpack_outputs(*raw, nw, sff, c)
 
         names = ("sf", "codes", "ranks", "hist", "wts", "prev_sf")
@@ -392,10 +448,10 @@ def check_kernel(interpret=True, seed=0, cases=None) -> None:
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
                 err_msg=f"{nm} differs (c={c} sff={sff} sfb={sfb} {mode} "
-                        f"all_valid={all_valid})",
+                        f"all_valid={all_valid} cheap_rank={cheap_rank})",
             )
         print(f"C. kernel equality: OK c={c} sff={sff} sfb={sfb} {mode} "
-              f"ragged={ragged} all_valid={all_valid}")
+              f"ragged={ragged} all_valid={all_valid} cheap_rank={cheap_rank}")
 
 
 # ============================== TPU timing =================================
@@ -427,9 +483,15 @@ def time_tpu() -> None:
         st, sm, nv, streams, wb, wp, sff, sfb, c)[0])
     newav = jax.jit(lambda st, sm: run_variant(
         st, sm, nv, streams, wb, wp, sff, sfb, c, all_valid=True)[0])
+    newcr = jax.jit(lambda st, sm: run_variant(
+        st, sm, nv, streams, wb, wp, sff, sfb, c, cheap_rank=True)[0])
+    newall = jax.jit(lambda st, sm: run_variant(
+        st, sm, nv, streams, wb, wp, sff, sfb, c, all_valid=True,
+        cheap_rank=True)[0])
 
     n_samples = nw * sff * c
-    for name, fn in (("old", old), ("new", newf), ("new+allvalid", newav)):
+    for name, fn in (("old", old), ("new", newf), ("new+allvalid", newav),
+                     ("new+cheaprank", newcr), ("new+av+cheaprank", newall)):
         out = fn(state, smp)
         jax.block_until_ready(out)
         ts = []
