@@ -51,28 +51,32 @@ def main() -> None:
     jnp.asarray(1, jnp.int32).block_until_ready()
     print(f"first tiny transfer+execute: {time.perf_counter() - t0:.2f}s")
 
-    x = jnp.arange(1 << 22, dtype=jnp.int32)
+    x = jnp.ones((4096, 4096), jnp.float32)
 
     @jax.jit
     def xla_work(v):
-        for _ in range(32):
-            v = (v * jnp.int32(1103515245) + jnp.int32(12345)) & jnp.int32(0x7FFFFFFF)
+        for _ in range(8):
+            v = v @ v * jnp.float32(1e-9) + jnp.float32(0.5)
         return v.sum()
 
+    # NOTE (2026-08-18 run): under the axon relay, block_until_ready()
+    # returned in ~0.03 ms for a ~20 ms matmul chain -- readiness appears
+    # to mean "enqueued", not "executed". Force a scalar FETCH to actually
+    # synchronize; latency numbers therefore include one tunnel round-trip.
     t0 = time.perf_counter()
-    xla_work(x).block_until_ready()
+    float(xla_work(x))
     print(f"xla_work compile+first run: {time.perf_counter() - t0:.2f}s")
     base = []
     for _ in range(10):
         t0 = time.perf_counter()
-        xla_work(x).block_until_ready()
+        float(xla_work(x))
         base.append(time.perf_counter() - t0)
     print(f"xla_work baseline: min {min(base) * 1e3:.1f} ms "
           f"med {sorted(base)[5] * 1e3:.1f} ms")
 
     # 3. Mosaic trigger on a side thread
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     def copy_kernel(src, dst):
         dst[:] = src[:] + jnp.int32(1)
@@ -81,8 +85,6 @@ def main() -> None:
         return pl.pallas_call(
             copy_kernel,
             out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         )(v)
 
     mosaic_done = threading.Event()
@@ -106,12 +108,12 @@ def main() -> None:
     during, after = [], []
     while not mosaic_done.is_set() and time.perf_counter() - start < 580:
         t0 = time.perf_counter()
-        xla_work(x).block_until_ready()
+        float(xla_work(x))
         during.append(time.perf_counter() - t0)
     th.join(timeout=600)
     for _ in range(10):
         t0 = time.perf_counter()
-        xla_work(x).block_until_ready()
+        float(xla_work(x))
         after.append(time.perf_counter() - t0)
 
     print(f"mosaic first-load wall: {mosaic_wall[0]}")

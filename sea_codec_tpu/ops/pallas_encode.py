@@ -20,10 +20,16 @@ This kernel redesigns the compute for the VPU:
   round-half-away via floor(x+0.5)); per-(rs, sf) constants (scale factor
   value, fixed-point reciprocal) are precomputed host-side and streamed per
   window.
-- **Exact 64-bit ranks without int64**: Mosaic has no i64, so the rank, the
-  squared error, and the weight penalty (``lms.rs:53-62``) are computed as
-  (hi, lo) int32 pairs with explicit carries; unsigned compare/shift via
-  sign-bit tricks. Bit-identical to the reference's u64 arithmetic,
+- **Exact 64-bit ranks without int64**: Mosaic has no i64, so the rank is
+  accumulated as a (hi, lo) int32 pair with explicit carries; unsigned
+  compare/shift via sign-bit tricks. The per-step increments use exact
+  narrow-domain forms (err^2 as one u32 multiply since |err| <= 65535;
+  the weight penalty's sum(w^2)>>18 via an i32 split-square decomposition
+  exact for |w| < 2^23, the reference's own i64/u64 non-wrap domain) --
+  ~25% fewer vector ops than the generic pair forms, validated bit-equal
+  on TPU incl. domain-edge weights (scripts/exp_encode_chain.py, which
+  keeps the generic-form kernel alive as the cross-check variant).
+  Bit-identical to the reference's u64 arithmetic,
   including wrap-around.
 - The fixed-point division ``sea_div`` uses the same pure-int32
   decomposition as ops.device_encode.sea_div.
@@ -130,7 +136,8 @@ def _sea_div(v, recip):
     return n + (jnp.sign(v) - jnp.sign(n))
 
 
-def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = True):
+def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = True,
+                 all_valid: bool = False):
     """Build the window-search kernel: S candidates x L lanes, ``wb`` windows
     per grid step (a fori_loop inside the kernel -- per-window grid steps
     would pay block-switch overhead ~50x the window's compute).
@@ -140,7 +147,18 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = Tr
     ~20x fewer Mosaic statements -- but did not reduce compile time in this
     environment (compilation runs on a shared remote service whose load
     varies 4x; see IMPLEMENTATION_NOTES.md), so the proven unrolled form
-    stays the default."""
+    stays the default.
+
+    ``all_valid=True`` drops every ``where(valid, ...)`` mask from the
+    recurrence (the nv stream is still an input, just unread, so call
+    shapes stay identical). Legal ONLY when every real window of every
+    real lane is full (nv == sff) and there are no padded windows
+    (wp == wc): a padded or ragged window would then update LMS state with
+    padding samples and corrupt the carry. Padding *lanes* (c..l) are fine:
+    they evolve deterministic garbage that no caller reads (outputs and
+    state are always sliced to the real lanes). Bit-equal to the masked
+    kernel on full windows (scripts/exp_encode_chain.py case matrix);
+    measured +5% on the corpus block geometry (348 -> 364 Msps-lane)."""
 
     def kernel(
         state_ref,  # i32[9, S, L]: h0..3, w0..3, prev_sf (broadcast over S)
@@ -182,49 +200,93 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = Tr
             rci = rci_ref[wi]  # [2, L]
             climit = rci[0:1, :]  # [1, L]
             kmax = rci[1:2, :]
-            nv = nv_ref[wi]  # [1, L]
+            nv = None if all_valid else nv_ref[wi]  # [1, L]
             rcf = rcf_ref[wi]
             c0 = rcf[0:1, :]  # [1, L] f32
             stepfloor = rcf[1:2, :]
             endval = rcf[2:3, :]
 
             is_rs2 = climit == jnp.int32(4)
-            two_m = climit << one
+            khalf = _shr(climit, 1) - one  # m/2 - 1: the |c| == m override
+            # sea_div reciprocal split hoisted off the per-sample chain
+            r_hi = recip >> jnp.int32(8)
+            r_lo = recip & jnp.int32(0xFF)
 
             def sample_step(t, smp, sc):
                 h0, h1, h2, h3, w0, w1, w2, w3, rank_hi, rank_lo = sc
                 pred = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> jnp.int32(13)
                 residual = smp - pred
-                scaled = _sea_div(residual, recip)
+                # sea_div with the n + (n==0)*sign(v) tail: n always has v's
+                # sign or is 0 (proven exhaustively over all reciprocals x
+                # |v| <= 2^20, scripts/exp_encode_chain.py check B)
+                n = (residual * r_hi
+                     + ((residual * r_lo + jnp.int32(0x8000)) >> jnp.int32(8))
+                     ) >> jnp.int32(8)
+                scaled = n + jnp.where(n == zero, jnp.sign(residual), zero)
                 clamped = jnp.minimum(jnp.maximum(scaled, -climit), climit)
-                # zig-zag quantization, closed form (qt.rs:8-31)
-                i = clamped + climit
-                q_desc = climit - one - ((jnp.maximum(i - one, zero) >> one) << one)
-                q_asc = ((i - climit) >> one) << one
-                q = jnp.where(
-                    i < climit, q_desc, jnp.where(i == two_m, climit - jnp.int32(2), q_asc)
-                )
-                q = jnp.where(is_rs2 & (i == jnp.int32(2)), one, q)
-                q = jnp.where(is_rs2 & (i == jnp.int32(6)), zero, q)
+                # direct zig-zag magnitude (identity vs the qt.rs:8-31 table
+                # proven over every clamped value, exp_encode_chain check A):
+                # k = |c|>>1 with saturated-endpoint overrides, q = 2k+(c<0)
+                ac = jnp.abs(clamped)
+                k = _shr(ac, 1)
+                k = jnp.where(ac == climit, khalf, k)
+                k = jnp.where(is_rs2 & (ac == jnp.int32(2)), zero, k)
+                neg = clamped < zero
                 # dequantization in f32, exactly as the table build (dqt.rs:99-126)
-                k = q >> one
                 curve = jnp.float32(0.5) + k.astype(jnp.float32) * stepfloor
                 curve = jnp.where(k == kmax, endval, curve)
                 curve = jnp.where(k == zero, c0, curve)
                 dq_abs = jnp.floor(sfval * curve + jnp.float32(0.5)).astype(jnp.int32)
-                dq = jnp.where((q & one) == one, -dq_abs, dq_abs)
+                dq = jnp.where(neg, -dq_abs, dq_abs)
                 recon = jnp.minimum(jnp.maximum(pred + dq, i16_min), i16_max)
                 err = smp - recon
-                e_hi, e_lo = _err_sq_pair(err)
-                p_hi, p_lo = _weights_penalty_pair(w0, w1, w2, w3)
-                a_hi, a_lo = _pair_add(e_hi, e_lo, p_hi, p_lo)
+                # rank increment, exact narrow-domain forms (the generic
+                # u64-pair forms below are ~60% of per-step vector ops;
+                # validated bit-equal on TPU, scripts/exp_encode_chain.py):
+                # - err^2: |err| <= 65535 structurally (i16 - clamped i16),
+                #   so the low-32 multiply IS the exact u32 value
+                # - weights penalty (lms.rs:53-62): with g = w >> 9,
+                #   r = w - g*512, sum(w^2) = A*2^18 + B*2^10 + C and
+                #   sum(w^2)>>18 == A + (B>>8) + (((B&255)<<10) + C) >> 18
+                #   exactly in i32 while |w| < 2^23 -- also the reference's
+                #   own exact domain (its i64 sum / u64 p^2 wrap beyond
+                #   ~2^24). Weight growth is <= max|dqt|>>4 = 1693 per step,
+                #   so |w| < 2^23 holds with >100x margin for any chunk and
+                #   is preserved across chunks by the penalty-ranked search
+                #   itself (a candidate near the bound ranks astronomically).
+                e2 = err * err
+                nine = jnp.int32(9)
+                g0 = w0 >> nine
+                g1 = w1 >> nine
+                g2 = w2 >> nine
+                g3 = w3 >> nine
+                r0 = w0 - (g0 << nine)
+                r1 = w1 - (g1 << nine)
+                r2 = w2 - (g2 << nine)
+                r3 = w3 - (g3 << nine)
+                pa = g0 * g0 + g1 * g1 + g2 * g2 + g3 * g3
+                pb = g0 * r0 + g1 * r1 + g2 * r2 + g3 * r3
+                pc = r0 * r0 + r1 * r1 + r2 * r2 + r3 * r3
+                s18 = (pa + (pb >> jnp.int32(8))
+                       + ((((pb & jnp.int32(255)) << jnp.int32(10)) + pc)
+                          >> jnp.int32(18)))
+                p = jnp.maximum(s18 - jnp.int32(0x8FF), zero)
+                p_hi, p_lo = _sq64(p)
+                a_lo = p_lo + e2
+                a_hi = p_hi + _ult(a_lo, e2).astype(jnp.int32)
                 n_hi, n_lo = _pair_add(rank_hi, rank_lo, a_hi, a_lo)
+                q_s[t] = (k << one) + neg.astype(jnp.int32)
+                # LMS update (lms.rs:43-51), frozen on invalid steps
+                delta = dq >> jnp.int32(4)
+                if all_valid:
+                    w0 = w0 + jnp.where(h0 < 0, -delta, delta)
+                    w1 = w1 + jnp.where(h1 < 0, -delta, delta)
+                    w2 = w2 + jnp.where(h2 < 0, -delta, delta)
+                    w3 = w3 + jnp.where(h3 < 0, -delta, delta)
+                    return (h1, h2, h3, recon, w0, w1, w2, w3, n_hi, n_lo)
                 valid = jnp.int32(t) < nv  # [1, L] mask (broadcasts over S)
                 rank_hi = jnp.where(valid, n_hi, rank_hi)
                 rank_lo = jnp.where(valid, n_lo, rank_lo)
-                q_s[t] = q
-                # LMS update (lms.rs:43-51), frozen on invalid steps
-                delta = dq >> jnp.int32(4)
                 w0 = jnp.where(valid, w0 + jnp.where(h0 < 0, -delta, delta), w0)
                 w1 = jnp.where(valid, w1 + jnp.where(h1 < 0, -delta, delta), w1)
                 w2 = jnp.where(valid, w2 + jnp.where(h2 < 0, -delta, delta), w2)
@@ -431,6 +493,7 @@ def run_window_search(
     # lanes amortize the sequential window sweep's per-step overhead over
     # more vregs -- measured 267/507/740 Msps-lane at l=128/256/512 on v5e
     # (scripts/perf_encode_lanes.py)
+    all_valid: bool = False,  # drop validity masks; see _make_kernel
 ):
     """Raw kernel invocation; returns (codes, sf, ranks, state_out) padded."""
     sff = scale_factor_frames
@@ -439,6 +502,7 @@ def run_window_search(
     sffp = -(-sff // 8) * 8
     sfval, recip, rci, rcf = streams
     wc = samples.shape[0] // sff
+    assert not (all_valid and wp != wc), "all_valid kernel with padded windows"
 
     smp = jnp.zeros((wp, sffp, l), jnp.int32)
     smp = smp.at[:wc, :sff, :c].set(samples.reshape(wc, sff, c))
@@ -446,7 +510,9 @@ def run_window_search(
     import os
 
     kernel = _make_kernel(
-        s, l, sff, sffp, wb, unroll=os.environ.get("SEA_ENCODE_ROLLED") != "1"
+        s, l, sff, sffp, wb,
+        unroll=os.environ.get("SEA_ENCODE_ROLLED") != "1",
+        all_valid=all_valid,
     )
     zi = lambda w: w * 0
     out_shapes = (
