@@ -297,6 +297,35 @@ def _worker_body() -> None:
                 break  # relay stall: keep the reps we have, bound the damage
         return min(ts)
 
+    # Corpus signal generation is pure host numpy (~20-30 s across all
+    # stages); run it on a side thread so it overlaps the Mosaic-init
+    # absorber below, whose device call releases the GIL for its whole
+    # (0.5-576 s) duration. Measured: concurrent XLA/host work proceeds at
+    # ~1.0x during a Mosaic first-load (scripts/exp_init_overlap.py).
+    def corpus_lengths(n, seed):
+        r = np.random.default_rng(seed)
+        return r.integers(7 * fpc + 1, 8 * fpc + 1, size=n)
+
+    def make_corpus(n, seed0):
+        lens = corpus_lengths(n, seed0)
+        return [
+            varied_signal(channels, int(l), seed=seed0 + i)
+            for i, l in enumerate(lens)
+        ]
+
+    prep: dict = {}
+
+    def _prep_body():
+        try:
+            prep["corpus256"] = make_corpus(8 if SMOKE else 256, seed0=0)
+            prep["vbr_files"] = make_corpus(4 if SMOKE else 64, seed0=50000)
+            prep["corpus1k_extra"] = make_corpus(8 if SMOKE else 744, seed0=10000)
+        except Exception as e:  # noqa: BLE001 -- stages regenerate on demand
+            log(f"[prep] thread failed: {type(e).__name__}: {e}")
+
+    prep_thread = threading.Thread(target=_prep_body, daemon=True)
+    prep_thread.start()
+
     # ====== S0: correctness anchor doubling as the Mosaic init absorber ======
     # The first Mosaic program a process loads pays a server-side one-time
     # cost with load-dependent variance (0.5-576 s observed). Pay it on the
@@ -372,17 +401,7 @@ def _worker_body() -> None:
     # Corpus files are varied in content (distinct seeds) AND length (ragged
     # tails, uniform in (7, 8] chunks so every 256-file device super-call
     # compiles the same (4, 8, fpc, 128) block shape exactly once).
-    def corpus_lengths(n, seed):
-        r = np.random.default_rng(seed)
-        return r.integers(7 * fpc + 1, 8 * fpc + 1, size=n)
-
-    def make_corpus(n, seed0):
-        lens = corpus_lengths(n, seed0)
-        return [
-            varied_signal(channels, int(l), seed=seed0 + i)
-            for i, l in enumerate(lens)
-        ]
-
+    # Signals were generated on the prep thread during the init absorber.
     def corpus_check(files, blobs, name, st):
         """Spot-check a corpus encode against the independent native codec:
         byte-identical bytes, decodable, and a loose PSNR sanity gate (VBR
@@ -404,7 +423,19 @@ def _worker_body() -> None:
             _rms, psnr = audio_quality(files[i], got)
             assert psnr < -10.0, f"{name}: psnr {psnr:.1f} dB"
 
-    corpus256 = make_corpus(8 if SMOKE else 256, seed0=0)
+    R["progress"] = "prep_join"
+    t0 = time.perf_counter()
+    prep_thread.join()
+    log(f"  [prep join {time.perf_counter() - t0:.1f}s -- corpus generation "
+        f"overlapped the init absorber]")
+    # regenerate inline if the prep thread died (stages stay independent)
+    if "corpus256" not in prep:
+        prep["corpus256"] = make_corpus(8 if SMOKE else 256, seed0=0)
+    if "vbr_files" not in prep:
+        prep["vbr_files"] = make_corpus(4 if SMOKE else 64, seed0=50000)
+    if "corpus1k_extra" not in prep:
+        prep["corpus1k_extra"] = make_corpus(8 if SMOKE else 744, seed0=10000)
+    corpus256 = prep["corpus256"]
     n_corpus256 = sum(f.shape[0] for f in corpus256)
 
     def x_corpus_encode():
@@ -468,7 +499,7 @@ def _worker_body() -> None:
     stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
 
     def x_vbr():
-        vbr_files = make_corpus(4 if SMOKE else 64, seed0=50000)
+        vbr_files = prep["vbr_files"]
         n_vbr = sum(f.shape[0] for f in vbr_files)
         encode_corpus(vbr_files, TEST_SAMPLE_RATE, channels, stv)
         t0 = time.perf_counter()
@@ -602,7 +633,7 @@ def _worker_body() -> None:
     R["t_8_ms"] = stage("8ch_roundtrip", 15, x_8ch, force=True)
 
     def x_corpus1k():
-        corpus1k = corpus256 + make_corpus(8 if SMOKE else 744, seed0=10000)
+        corpus1k = corpus256 + prep["corpus1k_extra"]
         n_1k = sum(f.shape[0] for f in corpus1k)
         t0 = time.perf_counter()
         enc1k = encode_corpus(corpus1k, TEST_SAMPLE_RATE, channels, settings)

@@ -25,7 +25,7 @@ from . import tables
 from .device_encode import encode_windows_fn
 
 
-def _window_kernel(use_pallas: bool, sff: int, sfb: int):
+def _window_kernel(use_pallas: bool, sff: int, sfb: int, ranks_only: bool = False):
     if use_pallas:
         from .pallas_encode import encode_windows_pallas_fn
 
@@ -33,6 +33,7 @@ def _window_kernel(use_pallas: bool, sff: int, sfb: int):
             return encode_windows_pallas_fn(
                 samples, rs, n_valid, hist, wts, prev,
                 scale_factor_frames=sff, scale_factor_bits=sfb,
+                ranks_only=ranks_only,
             )
 
         return run
@@ -427,10 +428,11 @@ def _corpus_vbr_scan(
             def passes(av):
                 def go():
                     # pass 1: analyze at base+1 from the carried state
+                    # ranks_only: the analyze pass reads only ranks + state
                     _c1, _s1, ranks_p, state1 = run_window_search(
                         state, flat, nvk, streams1, wb, wp, sff,
                         scale_factor_bits, b, all_valid=av,
-                        interpret=interpret,
+                        interpret=interpret, ranks_only=True,
                     )
                     hi = ranks_p[:w, 0, :b].astype(jnp.uint32).astype(jnp.uint64)
                     lo = ranks_p[:w, 1, :b].astype(jnp.uint32).astype(jnp.uint64)
@@ -609,6 +611,7 @@ def encode_file_vbr(
     m1, p1, p2 = dist
     sortable = (fpc * c) // sff
     run = _window_kernel(use_pallas, sff, scale_factor_bits)
+    run1 = _window_kernel(use_pallas, sff, scale_factor_bits, ranks_only=True)
     rs1 = jnp.full((w, c), base + 1, jnp.int32)
     nv = jnp.full((w,), sff, jnp.int32)
 
@@ -616,7 +619,7 @@ def encode_file_vbr(
         hist, wts, prev = carry
         flat = smp.reshape(fpc, c).astype(jnp.int32)
         # pass 1: analyze at base+1; LMS restored, prev_sf kept
-        _sf1, _codes1, ranks, _h1, _w1, prev1 = run(flat, rs1, nv, hist, wts, prev)
+        _sf1, _codes1, ranks, _h1, _w1, prev1 = run1(flat, rs1, nv, hist, wts, prev)
         errors = ranks.reshape(-1)  # [w*c] uint64, window-major channel-minor
         order = jnp.argsort(errors[:sortable], stable=True)
         sizes = jnp.full((w * c,), base, jnp.int32)

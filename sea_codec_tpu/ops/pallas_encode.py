@@ -137,7 +137,7 @@ def _sea_div(v, recip):
 
 
 def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = True,
-                 all_valid: bool = False):
+                 all_valid: bool = False, ranks_only: bool = False):
     """Build the window-search kernel: S candidates x L lanes, ``wb`` windows
     per grid step (a fori_loop inside the kernel -- per-window grid steps
     would pay block-switch overhead ~50x the window's compute).
@@ -158,7 +158,14 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = Tr
     they evolve deterministic garbage that no caller reads (outputs and
     state are always sliced to the real lanes). Bit-equal to the masked
     kernel on full windows (scripts/exp_encode_chain.py case matrix);
-    measured +5% on the corpus block geometry (348 -> 364 Msps-lane)."""
+    measured +5% on the corpus block geometry (348 -> 364 Msps-lane).
+
+    ``ranks_only=True`` elides the candidate-code scratch stores and the
+    per-window winner-code selection (``codes_ref`` is never written): the
+    VBR analyze pass (reference ``encoder_vbr.rs:139-171``) consumes only
+    the error ranks and the carried LMS/prev_sf state, so its kernel can
+    skip ~sff stores + sff select-reduces per window. Rank and state math
+    are untouched -- pass-2 inputs are bit-identical by construction."""
 
     def kernel(
         state_ref,  # i32[9, S, L]: h0..3, w0..3, prev_sf (broadcast over S)
@@ -188,7 +195,7 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = Tr
             h_s[:] = state_ref[0:4]
             w_s[:] = state_ref[4:8]
             p_s[:] = state_ref[8:9]
-            if sffp > sff:
+            if sffp > sff and not ranks_only:
                 # padding code rows are read by the rolled path's vectorized
                 # selection; zero them once (never written afterwards)
                 q_s[sff:] = jnp.zeros((sffp - sff, s, l), jnp.int32)
@@ -275,7 +282,8 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = Tr
                 a_lo = p_lo + e2
                 a_hi = p_hi + _ult(a_lo, e2).astype(jnp.int32)
                 n_hi, n_lo = _pair_add(rank_hi, rank_lo, a_hi, a_lo)
-                q_s[t] = (k << one) + neg.astype(jnp.int32)
+                if not ranks_only:
+                    q_s[t] = (k << one) + neg.astype(jnp.int32)
                 # LMS update (lms.rs:43-51), frozen on invalid steps
                 delta = dq >> jnp.int32(4)
                 if all_valid:
@@ -346,7 +354,9 @@ def _make_kernel(s: int, l: int, sff: int, sffp: int, wb: int, unroll: bool = Tr
             best_sf = select(sub)  # [1, L]
             sf_ref[wi] = best_sf
             ranks_ref[wi] = jnp.concatenate([select(rank_hi), select(rank_lo)], axis=0)
-            if unroll:
+            if ranks_only:
+                pass  # codes_ref never written (caller must not read it)
+            elif unroll:
                 rows = [select(q_s[t]) for t in range(sff)]
                 rows += [jnp.zeros((1, l), jnp.int32)] * (sffp - sff)
                 codes_ref[wi] = jnp.concatenate(rows, axis=0)
@@ -494,6 +504,8 @@ def run_window_search(
     # more vregs -- measured 267/507/740 Msps-lane at l=128/256/512 on v5e
     # (scripts/perf_encode_lanes.py)
     all_valid: bool = False,  # drop validity masks; see _make_kernel
+    ranks_only: bool = False,  # elide code stores/selection; codes output
+    # is UNDEFINED (VBR analyze pass reads only ranks + state)
 ):
     """Raw kernel invocation; returns (codes, sf, ranks, state_out) padded."""
     sff = scale_factor_frames
@@ -513,6 +525,7 @@ def run_window_search(
         s, l, sff, sffp, wb,
         unroll=os.environ.get("SEA_ENCODE_ROLLED") != "1",
         all_valid=all_valid,
+        ranks_only=ranks_only,
     )
     zi = lambda w: w * 0
     out_shapes = (
@@ -544,7 +557,8 @@ def run_window_search(
             pltpu.VMEM((4, s, l), jnp.int32),
             pltpu.VMEM((4, s, l), jnp.int32),
             pltpu.VMEM((1, s, l), jnp.int32),
-            pltpu.VMEM((sffp, s, l), jnp.int32),
+            # candidate-code scratch is unused under ranks_only: shrink it
+            pltpu.VMEM((1 if ranks_only else sffp, s, l), jnp.int32),
         ],
         interpret=interpret,
     )(state, smp, nv, sfval, recip, rci, rcf)
@@ -573,6 +587,7 @@ def encode_windows_pallas_fn(
     scale_factor_frames: int,
     scale_factor_bits: int,
     interpret: bool = False,
+    ranks_only: bool = False,  # codes output is UNDEFINED (see run_window_search)
 ):
     """Drop-in replacement for ops.device_encode.encode_windows_fn (same
     returns) running the window search as a Pallas kernel."""
@@ -588,11 +603,14 @@ def encode_windows_pallas_fn(
     codes, sf, ranks, state_out = run_window_search(
         state, samples, nv, streams, wb, wp,
         scale_factor_frames, scale_factor_bits, c, interpret,
+        ranks_only=ranks_only,
     )
     return unpack_outputs(codes, sf, ranks, state_out, wc, scale_factor_frames, c)
 
 
 encode_windows_pallas = jax.jit(
     encode_windows_pallas_fn,
-    static_argnames=("scale_factor_frames", "scale_factor_bits", "interpret"),
+    static_argnames=(
+        "scale_factor_frames", "scale_factor_bits", "interpret", "ranks_only",
+    ),
 )

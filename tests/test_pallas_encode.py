@@ -151,6 +151,31 @@ def test_corpus_vbr_cond_paths_match_xla():
         )
 
 
+@pytest.mark.parametrize("ragged", [False, True])
+def test_ranks_only_variant_matches_full_kernel(ragged):
+    # the VBR analyze pass reads only ranks + carried state; the ranks_only
+    # kernel elides code stores/selection and must leave those identical
+    rng = np.random.default_rng(23)
+    c, sff, sfb, nw = 3, 5, 4, 6
+    rs = rng.integers(1, 9, size=(nw, c)).astype(np.int32)
+    samples = rng.integers(-32768, 32768, size=(nw * sff, c)).astype(np.int32)
+    n_valid = np.full(nw, sff, np.int32)
+    if ragged:
+        n_valid[-1] = sff - 3
+    hist0, wts0, prev0 = _init_state(c, rng)
+    args = (jnp.asarray(samples), jnp.asarray(rs), jnp.asarray(n_valid),
+            jnp.asarray(hist0), jnp.asarray(wts0), jnp.asarray(prev0))
+    kw = dict(scale_factor_frames=sff, scale_factor_bits=sfb, interpret=True)
+    full = encode_windows_pallas_fn(*args, **kw)
+    fast = encode_windows_pallas_fn(*args, ranks_only=True, **kw)
+    # codes (index 1) are undefined under ranks_only; everything else exact
+    for i, nm in ((0, "sf"), (2, "ranks"), (3, "hist"), (4, "wts"), (5, "prev")):
+        np.testing.assert_array_equal(
+            np.asarray(full[i]), np.asarray(fast[i]),
+            err_msg=f"{nm} differs (ragged={ragged})",
+        )
+
+
 def test_file_cbr_static_all_valid_matches_xla():
     # encode_file_cbr feeds full chunks only -> static all_valid kernel
     rng = np.random.default_rng(11)
