@@ -285,6 +285,7 @@ def _fetch_neighborhood_matmul(
     n_words: int,  # int32 words per fetched neighborhood
     transposed: bool = False,  # True: uint32[WG, n_words, N] (lane-major
     # for the fused VBR Pallas prolog: chunks land on the minor axis)
+    nomap: bool | None = None,  # None = auto by HBM bound; tests force both
 ) -> jnp.ndarray:  # uint32[N, n_words, WG]
     """Neighborhood-word fetch as a one-hot bf16 matmul on the MXU.
 
@@ -301,10 +302,19 @@ def _fetch_neighborhood_matmul(
     """
     n, wg = base8.shape
     nw4 = n_words * 4
+    # One fused dot over the whole batch beats lax.map blocking when XLA
+    # can keep the one-hot fused into the contraction: 57.7 -> 42.8 ms on
+    # the 49152-chunk bench shape (scripts/exp_vbr_fetch.py variant G; the
+    # blocked map serializes dispatches and re-materializes operand tiles
+    # per block). Gate on the materialized-one-hot bound in case XLA does
+    # spill it: [N, WG, k1] bf16 <= ~2.5 GB covers the bench shape (2.2 GB)
+    # with headroom against v5e's 16 GB HBM.
+    if nomap is None:
+        nomap = n * wg * k1 * 2 <= (5 << 29)
     # block over rows; per-block buffers (the [blk, WG, k1] one-hot and,
     # for huge batches, the [blk, 8*k1, nw4] shifted-plane stack) bound
     # live HBM regardless of batch size
-    blk = max(8, min(n, 4096, (1 << 30) // max(1, wg * k1)))
+    blk = n if nomap else max(8, min(n, 4096, (1 << 30) // max(1, wg * k1)))
     n_pad = -(-n // blk) * blk
     # shifted byte planes: S[n, j, (p, b)] = byte[n, 4*(8*j + p) + b]. Built
     # once outside the map when the stack fits comfortably (one fused pass
@@ -331,16 +341,19 @@ def _fetch_neighborhood_matmul(
         )  # [blk, WG, nw4]
         return out.astype(jnp.int32)
 
-    if n_pad != n:
-        base8 = jnp.pad(base8, ((0, n_pad - n), (0, 0)))
-        data = jnp.pad(data, ((0, n_pad - n), (0, 0)))
-    b8_blocks = base8.reshape(-1, blk, wg)
-    if prebuild:
-        s_blocks = make_s(data).reshape(-1, blk, k1, nw4)
-        out = jax.lax.map(lambda a: pick(*a), (b8_blocks, s_blocks))
+    if nomap:
+        out = pick(base8, make_s(data))
     else:
-        d_blocks = data.reshape(-1, blk, data.shape[1])
-        out = jax.lax.map(lambda a: pick(a[0], make_s(a[1])), (b8_blocks, d_blocks))
+        if n_pad != n:
+            base8 = jnp.pad(base8, ((0, n_pad - n), (0, 0)))
+            data = jnp.pad(data, ((0, n_pad - n), (0, 0)))
+        b8_blocks = base8.reshape(-1, blk, wg)
+        if prebuild:
+            s_blocks = make_s(data).reshape(-1, blk, k1, nw4)
+            out = jax.lax.map(lambda a: pick(*a), (b8_blocks, s_blocks))
+        else:
+            d_blocks = data.reshape(-1, blk, data.shape[1])
+            out = jax.lax.map(lambda a: pick(a[0], make_s(a[1])), (b8_blocks, d_blocks))
     out = out.reshape(n_pad, wg, n_words, 4)[:n]
     words = (
         (out[..., 0].astype(jnp.uint32) << 24)

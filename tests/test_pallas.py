@@ -128,6 +128,32 @@ def test_unpack_var_windowed_matches_scalar(channels, sff, frames):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("transposed", [False, True])
+def test_fetch_matmul_nomap_matches_blocked(transposed):
+    """The single fused-dot fetch (auto-selected under the HBM bound) must
+    be word-identical to the blocked lax.map path (huge-batch fallback);
+    small unit shapes never reach the blocked branch via the auto gate, so
+    both are forced explicitly here."""
+    from sea_codec_tpu.ops.device_decode import _fetch_neighborhood_matmul
+
+    rng = np.random.default_rng(7)
+    k1, n_words, wg, n = 11, 5, 17, 23
+    data = rng.integers(0, 256, size=(n, 4 * (8 * k1 + n_words))).astype(np.uint8)
+    base8 = np.sort(
+        rng.integers(0, k1, size=(n, wg)).astype(np.int32), axis=1
+    )
+    outs = [
+        np.asarray(
+            _fetch_neighborhood_matmul(
+                jnp.asarray(data), jnp.asarray(base8), k1, n_words,
+                transposed=transposed, nomap=force,
+            )
+        )
+        for force in (True, False)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_select_chain_matches_gather():
     from sea_codec_tpu.ops.device_decode import _select_chain
 
