@@ -465,8 +465,12 @@ def _worker_body() -> None:
         from sea_codec_tpu.ops import lms as lms_ops
         from sea_codec_tpu.ops.encode_file import encode_corpus_cbr_packed_blocks
 
-        nb, nfb, ncb = (1, 4, 2) if SMOKE else (4, 64, 16)  # 134M samples per call: the fixed ~25 ms
-        # relay dispatch is <2% of the call, so this measures device rate
+        nb, nfb, ncb = (1, 4, 2) if SMOKE else (32, 64, 16)  # 32 blocks =
+        # 335.5M samples per call (671 MB int16 staged): the relay's fixed
+        # ~25 ms dispatch (measured back-to-back vs single-sync,
+        # scripts/exp_dispatch_overhead.py) is <10% of the ~210 ms call, so
+        # this measures device rate -- at 4 blocks dispatch was ~half the
+        # measurement and understated the kernel ~2x
         bb = nfb * channels
         one_file = varied_signal(channels, ncb * fpc, seed=31337)
         frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
@@ -494,7 +498,7 @@ def _worker_body() -> None:
             f"{t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
         return msps
 
-    R["enc_dev_msps"] = stage("device_encode", 30, x_device_encode, force=True)
+    R["enc_dev_msps"] = stage("device_encode", 45, x_device_encode, force=True)
 
     stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
 
@@ -523,7 +527,9 @@ def _worker_body() -> None:
         from sea_codec_tpu.ops import lms as lms_ops
         from sea_codec_tpu.ops.encode_file import encode_corpus_vbr_nv_blocks
 
-        nb, nfb, ncb = (1, 4, 2) if SMOKE else (4, 64, 16)
+        nb, nfb, ncb = (1, 4, 2) if SMOKE else (16, 64, 16)  # 167.8M
+        # samples per call: VBR's two passes run ~2x CBR's device time per
+        # sample, so 16 blocks suffice to keep the ~25 ms dispatch <10%
         bb = nfb * channels
         sff, sfb = settings.scale_factor_frames, settings.scale_factor_bits
         target = normalized_vbr_bitrate(np.float32(2.5), fpc, sfb, sff)
@@ -559,7 +565,7 @@ def _worker_body() -> None:
             f"{t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
         return msps
 
-    R["vbr_enc_dev_msps"] = stage("device_encode_vbr", 25, x_device_encode_vbr,
+    R["vbr_enc_dev_msps"] = stage("device_encode_vbr", 35, x_device_encode_vbr,
                                   force=True)
 
     # ============ D2: VBR device decode (native VBR bytes, diverse) =========
@@ -719,9 +725,11 @@ def _worker_body() -> None:
         encoded = enc_cell[0]
         hdr_c, rect_c, _ = split_chunks(encoded)
         bc = parse_full_chunks(rect_c, hdr_c)
-        mult_c = 4 if SMOKE else 384  # 49152 chunks / 503M samples: at mult 96 the ~28 ms
-        # relay dispatch was ~3/4 of the measurement (decode itself runs at
-        # headline rate); 503M puts the fixed cost under 15% of the call
+        mult_c = 4 if SMOKE else 768  # 98304 chunks / 1007M samples: the
+        # fused decode runs ~50 ms/Gsample device-side, so 1007M keeps the
+        # ~25 ms relay dispatch under ~25% of the call (at mult 384 it was
+        # ~half); HBM: pcm + orig + diff temporaries ~6 GB, same class as
+        # the decode headline's working set
         args_c = tuple(
             device_tile(a, (mult_c,) + (1,) * (a.ndim - 1))
             for a in (bc.res_bytes, bc.sf, bc.rs, bc.hist, bc.wts)
@@ -779,7 +787,7 @@ def _worker_body() -> None:
             f"{psnr_dev:.1f} dB")
         return msps
 
-    R["consumer_msps"] = stage("e2e_device_consumer", 10, x_device_consumer)
+    R["consumer_msps"] = stage("e2e_device_consumer", 20, x_device_consumer)
 
     n_cache1 = cache_entries()
     R["cache_delta"] = n_cache1 - n_cache0

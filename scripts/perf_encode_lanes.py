@@ -45,11 +45,13 @@ def main():
     rs128 = jnp.full((wc, 128), 3, jnp.int32)
     (sfval, recip, rci, rcf), wb, wp = prepare_window_streams(rs128, sff, sfb, 128)
     base_out = {}
+    smp128 = rng.integers(-3000, 3000, size=(wc * sff, 128)).astype(np.int32)
     for l in (128, 256, 512):
         c = l  # every lane active
-        smp = jnp.asarray(
-            rng.integers(-3000, 3000, size=(wc * sff, l)).astype(np.int32)
-        )
+        # one 128-lane draw tiled across the width: timing is content-
+        # independent, and replicated lane groups make the equality check
+        # below actually compare like inputs
+        smp = jnp.asarray(np.tile(smp128, (1, l // 128)))
         # streams for full-lane rs: rebuild at this l by tiling the 128-lane
         # versions (values are lane-wise; rs constant so tiling is exact)
         t = lambda a: jnp.tile(a, (1, 1, l // 128))
