@@ -584,7 +584,10 @@ def _worker_body() -> None:
         dqt_v = jnp.asarray(
             tables.dqt_stacked(cfg_v.scale_factor_bits).reshape(-1), jnp.int32
         )
-        mult_v = 2 if SMOKE else 768  # 49152 chunks / 503M samples per call
+        mult_v = 2 if SMOKE else 1152  # 73728 chunks / 755M samples per
+        # call: dilutes the relay's fixed ~25 ms dispatch below 15% (at 768
+        # it was ~22%; measured 4484 -> 4828 Msps) -- the one-hot fetch
+        # stays on the single-fused-dot path via the raised nomap gate
         args_v = tuple(
             device_tile(a, (mult_v,) + (1,) * (a.ndim - 1)) for a in cat_v
         )

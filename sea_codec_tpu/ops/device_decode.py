@@ -307,10 +307,12 @@ def _fetch_neighborhood_matmul(
     # the 49152-chunk bench shape (scripts/exp_vbr_fetch.py variant G; the
     # blocked map serializes dispatches and re-materializes operand tiles
     # per block). Gate on the materialized-one-hot bound in case XLA does
-    # spill it: [N, WG, k1] bf16 <= ~2.5 GB covers the bench shape (2.2 GB)
-    # with headroom against v5e's 16 GB HBM.
+    # spill it: [N, WG, k1] bf16 <= ~3.8 GB covers the bench shapes (up to
+    # 3.4 GB at the 73728-chunk VBR batch, measured on-device without HBM
+    # pressure -- XLA keeps the one-hot fused into the contraction) while
+    # still routing truly huge batches to the blocked fallback.
     if nomap is None:
-        nomap = n * wg * k1 * 2 <= (5 << 29)
+        nomap = n * wg * k1 * 2 <= (7 << 29)
     # block over rows; per-block buffers (the [blk, WG, k1] one-hot and,
     # for huge batches, the [blk, 8*k1, nw4] shifted-plane stack) bound
     # live HBM regardless of batch size
