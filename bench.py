@@ -96,6 +96,10 @@ def emit() -> None:
         "value": rnd(dev_msps),
         "unit": "Msamples/s",
         "vs_baseline": rnd(dev_msps / baseline_per_chip, 3) if dev_msps else None,
+        # sustained = k-deep enqueued program stream, one sync (production
+        # serving shape; amortizes the relay's fixed per-call dispatch)
+        "decode_sustained_Msps": rnd(R.get("dev_sustained_msps")),
+        "vbr_decode_sustained_Msps": rnd(R.get("vbr_dec_sustained_msps")),
         "end_to_end_decode_Msps": rnd(R.get("e2e_msps")),
         "e2e_device_consumer_Msps": rnd(R.get("consumer_msps")),
         "encode_Msps": rnd(R.get("enc_msps")),
@@ -297,6 +301,24 @@ def _worker_body() -> None:
                 break  # relay stall: keep the reps we have, bound the damage
         return min(ts)
 
+    def timed_stream(fn, probe, k, rounds=3):
+        """Sustained throughput: k programs enqueued back-to-back, one sync.
+        The device serializes them while later dispatches overlap earlier
+        execution -- the production serving shape (a pipeline issues work
+        continuously), isolating device time from the relay's fixed ~25 ms
+        per-call round trip (scripts/exp_dispatch_overhead.py). Caller must
+        have warmed fn."""
+        best = None
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(k):
+                r = fn()
+            probe(r)
+            t = (time.perf_counter() - t0) / k
+            best = t if best is None or t < best else best
+        return best
+
     # Corpus signal generation is pure host numpy (~20-30 s across all
     # stages); run it on a side thread so it overlaps the Mosaic-init
     # absorber below, whose device call releases the GIL for its whole
@@ -395,6 +417,11 @@ def _worker_body() -> None:
     R["dev_msps"] = n_dec_samples / t_dev / 1e6
     log(f"decode device (pallas={use_pallas}, {cat[0].shape[0]} diverse chunks "
         f"x{decode_mult}): {t_dev * 1e3:.1f} ms = {R['dev_msps']:.1f} Msamples/s")
+    t_sus = timed_stream(dev_decode, lambda o: np.asarray(o[0, 0, 0]),
+                         k=2 if SMOKE else 4)
+    R["dev_sustained_msps"] = n_dec_samples / t_sus / 1e6
+    log(f"decode device sustained (4-deep program stream): "
+        f"{t_sus * 1e3:.1f} ms/program = {R['dev_sustained_msps']:.1f} Msamples/s")
     del args  # release the tiled batch before the encode stages
 
     # =============== E: encode-side metrics, most-wanted first ==============
@@ -606,6 +633,11 @@ def _worker_body() -> None:
         msps = n_v / t / 1e6
         log(f"VBR decode device (64 diverse chunks x{mult_v}, max_code_bits="
             f"{mcb}): {t * 1e3:.1f} ms = {msps:.1f} Msamples/s")
+        t_s = timed_stream(dev_decode_v, lambda o: np.asarray(o[0, 0, 0]),
+                           k=2 if SMOKE else 3)
+        R["vbr_dec_sustained_msps"] = n_v / t_s / 1e6
+        log(f"VBR decode device sustained (3-deep stream): {t_s * 1e3:.1f} "
+            f"ms/program = {R['vbr_dec_sustained_msps']:.1f} Msamples/s")
         return msps
 
     R["vbr_dec_msps"] = stage("vbr_decode_device", 25, x_vbr_decode, force=True)
