@@ -111,6 +111,7 @@ def emit() -> None:
         "encode_Msps": rnd(R.get("enc_msps")),
         "corpus_encode_Msps": rnd(R.get("corpus_msps")),
         "corpus_encode_device_Msps": rnd(R.get("enc_dev_msps")),
+        "corpus_encode_sustained_Msps": rnd(R.get("enc_dev_sustained_msps")),
         "corpus1000_encode_Msps": rnd(R.get("enc1k_msps")),
         "corpus1000_decode_Msps": rnd(R.get("dec1k_msps")),
         "mono_roundtrip_ms": rnd(R.get("t_mono_ms"), 1),
@@ -118,6 +119,7 @@ def emit() -> None:
         "vbr_corpus_encode_Msps": rnd(R.get("vbr_msps")),
         "vbr_decode_device_Msps": rnd(R.get("vbr_dec_msps")),
         "vbr_encode_device_Msps": rnd(R.get("vbr_enc_dev_msps")),
+        "vbr_encode_sustained_Msps": rnd(R.get("vbr_enc_dev_sustained_msps")),
         "compression_ratio": rnd(R.get("ratio")),
         "psnr_db": rnd(R.get("psnr"), 1),
         "decode_vs_native_ok": bool(R.get("headline_ok")),
@@ -524,11 +526,20 @@ def _worker_body() -> None:
                 residual_size=3, n_files=nfb, use_pallas=use_pallas,
             )
 
-        t = timed_device(dev_encode, lambda o: np.asarray(o[0][0, 0, 0]), reps=5)
+        probe = lambda o: np.asarray(o[0][0, 0, 0])
+        t = timed_device(dev_encode, probe, reps=5)
         n_enc_dev = nb * nfb * ncb * fpc * channels
         msps = n_enc_dev / t / 1e6
         log(f"corpus encode device-resident ({nb * nfb} files): "
             f"{t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
+        # sustained = same compiled program, 4-deep enqueued stream, one
+        # sync (the serving shape; overlaps the relay's fixed ~25 ms
+        # dispatch with device execution, like the decode headline)
+        t_s = timed_stream(dev_encode, probe, k=4, rounds=2)
+        R["enc_dev_sustained_msps"] = n_enc_dev / t_s / 1e6
+        log(f"corpus encode device sustained (4-deep stream): "
+            f"{t_s * 1e3:.0f} ms/program = "
+            f"{R['enc_dev_sustained_msps']:.1f} Msamples/s")
         return msps
 
     R["enc_dev_msps"] = stage("device_encode", 45, x_device_encode, force=True)
@@ -596,6 +607,11 @@ def _worker_body() -> None:
         msps = n_enc_dev / t / 1e6
         log(f"VBR corpus encode device-resident ({nb * nfb} files): "
             f"{t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
+        t_s = timed_stream(dev_encode_v, probe, k=4, rounds=2)
+        R["vbr_enc_dev_sustained_msps"] = n_enc_dev / t_s / 1e6
+        log(f"VBR corpus encode device sustained (4-deep stream): "
+            f"{t_s * 1e3:.0f} ms/program = "
+            f"{R['vbr_enc_dev_sustained_msps']:.1f} Msamples/s")
         return msps
 
     R["vbr_enc_dev_msps"] = stage("device_encode_vbr", 35, x_device_encode_vbr,
