@@ -1,0 +1,51 @@
+"""Metadata: store and read UTF-8 key=value pairs in the .sea header.
+
+The format reserves ``metadata_size`` + bytes in the header (reference
+``README.md:71-84``, ``file.rs:40-93``). Note the compatibility quirk
+documented in ``container.py``: the reference's *parser* never consumes
+the metadata bytes (``file.rs:53-55``), so reference-produced files always
+carry empty metadata; this implementation follows the written spec and
+round-trips it.
+
+Usage:
+    python examples/metadata.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import io
+
+import sea_codec_tpu as sea
+from sea_codec_tpu.container import SeaFileHeader
+from sea_codec_tpu.utils.signal import gen_test_signal
+
+
+def main() -> int:
+    channels, sample_rate = 2, 44100
+    samples = gen_test_signal(channels, 8000)
+
+    meta = "title=Example\nartist=sea-codec-tpu\n"
+    settings = sea.EncoderSettings(metadata=meta)
+    encoded = sea.sea_encode(samples, sample_rate, channels, settings)
+
+    header = SeaFileHeader.from_reader(io.BytesIO(encoded))
+    assert header.metadata == meta
+    pairs = dict(
+        line.split("=", 1) for line in header.metadata.splitlines() if "=" in line
+    )
+    print(f"header metadata ({len(meta)} bytes): {pairs}")
+
+    decoded = sea.sea_decode(encoded)
+    assert decoded.samples.size == samples.size
+    print(f"decode still sample-exact alongside metadata: "
+          f"{decoded.samples.size} samples")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
