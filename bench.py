@@ -115,6 +115,11 @@ def emit() -> None:
         "corpus1000_encode_Msps": rnd(R.get("enc1k_msps")),
         "corpus1000_decode_Msps": rnd(R.get("dec1k_msps")),
         "mono_roundtrip_ms": rnd(R.get("t_mono_ms"), 1),
+        # stereo CBR bitrate sweep 1..8: compression ratios (BASELINE
+        # acceptance config 2; reference publishes ~13.3x .. ~2.0x), with
+        # device decode asserted byte-identical to the native codec at the
+        # extreme residual widths rs=1 and rs=8
+        "cbr_sweep_ratios": R.get("cbr_sweep_ratios"),
         "multichannel8_roundtrip_ms": rnd(R.get("t_8_ms"), 1),
         "vbr_corpus_encode_Msps": rnd(R.get("vbr_msps")),
         "vbr_decode_device_Msps": rnd(R.get("vbr_dec_msps")),
@@ -723,6 +728,46 @@ def _worker_body() -> None:
         log(f"corpus decode e2e (1000 files, incl. full PCM fetch): "
             f"{t_dec1k:.2f}s = {dec_msps_1k:.1f} Msamples/s")
         return True
+
+    def x_cbr_sweep():
+        # acceptance config 2 (BASELINE.json): stereo CBR bitrate sweep 1-8.
+        # Host-native encodes give the published compression ratios
+        # (reference web/index.html:80-87: ~13.3x at 1 down to ~2.0x at 8);
+        # the two EXTREME residual widths also decode on device
+        # byte-identically (rs=3 is the headline's width, so rs=1/rs=8
+        # cover the narrowest/widest const-width unpack geometries).
+        sig = varied_signal(channels, (4 if SMOKE else 8) * fpc, seed=424242)
+        ratios = []
+        blobs = {}
+        for b in range(1, 9):
+            enc = native_encode(
+                sig, TEST_SAMPLE_RATE, channels,
+                residual_bits=float(b), frames_per_chunk=fpc,
+            )
+            blobs[b] = enc
+            ratios.append(round(2 * sig.shape[0] / len(enc), 2))
+        assert all(a > b2 for a, b2 in zip(ratios, ratios[1:])), ratios
+        assert 12.0 < ratios[0] < 14.0 and 4.6 < ratios[2] < 5.3 \
+            and 1.85 < ratios[7] < 2.1, ratios
+        for b in (1, 8):
+            h, rect, _ = split_chunks(blobs[b])
+            bb = parse_full_chunks(rect, h)
+            dqtb = jnp.asarray(
+                tables.dqt_stacked(bb.scale_factor_bits).reshape(-1), jnp.int32)
+            out = decode_chunks_packed(
+                jnp.asarray(bb.res_bytes), jnp.asarray(bb.sf),
+                jnp.asarray(bb.rs), jnp.asarray(bb.hist), jnp.asarray(bb.wts),
+                dqtb, scale_factor_frames=bb.scale_factor_frames, frames=fpc,
+                residual_size=bb.residual_size, use_pallas=use_pallas,
+            )
+            want, _r, _c = native_decode(blobs[b])
+            assert np.array_equal(np.asarray(out).reshape(-1), want), \
+                f"rs={b}: device decode != native decode"
+        log(f"CBR sweep 1..8 ratios: {ratios}; device decode byte-identical "
+            f"at rs=1 and rs=8")
+        return ratios
+
+    R["cbr_sweep_ratios"] = stage("cbr_sweep", 25, x_cbr_sweep, force=True)
 
     # corpus1000 runs LAST of the acceptance set: it is the most expensive
     # (~100 s), so under a stressed budget it is the natural sacrifice after

@@ -100,3 +100,36 @@ def test_255_channels_end_to_end():
         assert out.shape[0] == frames * c
         rms, psnr = audio_quality(samples, out)
         assert psnr < -20.0, psnr
+
+@pytest.mark.parametrize(
+    "fpc,sff,frames",
+    [
+        (200, 20, 450),      # CLI lower chunk-size bound (seaconv.rs:23-26)
+        (32000, 20, 48000),  # CLI upper chunk-size bound + ragged tail
+        (200, 1, 450),       # scalefactor-distance lower bound (>= 1)
+        (200, 200, 450),     # one window per chunk (sff == fpc)
+    ],
+)
+def test_chunk_size_bounds(fpc, sff, frames):
+    """Round trips at the CLI's chunk-size/scalefactor-distance extremes,
+    byte-identical to the independent native codec."""
+    import numpy as np
+
+    from sea_codec_tpu.batch import encode_sea
+    from sea_codec_tpu.native import binding
+
+    channels = 2
+    samples = gen_test_signal(channels, frames)[: frames * channels]
+    st = EncoderSettings(frames_per_chunk=fpc, scale_factor_frames=sff)
+
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, channels, st)
+    assert encoded == encode_sea(samples, TEST_SAMPLE_RATE, channels, st)
+    if binding.available():
+        assert encoded == binding.native_encode(
+            samples, TEST_SAMPLE_RATE, channels,
+            scale_factor_frames=sff, frames_per_chunk=fpc,
+        )
+    decoded = sea_decode(encoded)
+    assert decoded.samples.shape == samples.shape
+    _, psnr = audio_quality(samples, np.asarray(decoded.samples))
+    assert psnr < -20.0, (fpc, sff, psnr)
