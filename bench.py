@@ -112,6 +112,11 @@ def emit() -> None:
         "corpus_encode_Msps": rnd(R.get("corpus_msps")),
         "corpus_encode_device_Msps": rnd(R.get("enc_dev_msps")),
         "corpus_encode_sustained_Msps": rnd(R.get("enc_dev_sustained_msps")),
+        # BASELINE's literal encode+decode metric: one device program runs
+        # encode -> on-device serialization -> device row parse -> decode;
+        # container bytes and PCM never leave HBM, PCM asserted identical
+        # to the native codec's round trip
+        "transcode_device_Msps": rnd(R.get("transcode_msps")),
         "corpus1000_encode_Msps": rnd(R.get("enc1k_msps")),
         "corpus1000_decode_Msps": rnd(R.get("dec1k_msps")),
         "mono_roundtrip_ms": rnd(R.get("t_mono_ms"), 1),
@@ -548,6 +553,61 @@ def _worker_body() -> None:
         return msps
 
     R["enc_dev_msps"] = stage("device_encode", 45, x_device_encode, force=True)
+
+    def x_transcode_device():
+        # BASELINE's literal metric is encode+decode: this stage runs the
+        # FULL pipeline -- encode -> on-device serialization -> device-side
+        # row parse -> decode -- as ONE program; the container bytes and
+        # the PCM never leave HBM (ops/serialize_device.py +
+        # ops/parse_device.py close the loop).
+        from sea_codec_tpu.ops import lms as lms_ops
+        from sea_codec_tpu.ops.encode_file import encode_corpus_cbr_packed_blocks
+        from sea_codec_tpu.ops.parse_device import transcode_chunks_cbr_device
+
+        nb, nfb, ncb = (1, 4, 2) if SMOKE else (16, 64, 16)  # 167.8M samples
+        bb = nfb * channels
+        one_file = varied_signal(channels, ncb * fpc, seed=31339)
+        frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
+        tail_idx = np.full((nb, nfb), ncb, np.int32)
+        h0 = np.broadcast_to(
+            np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
+        w0 = np.broadcast_to(
+            np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
+        p0 = np.zeros((nb, bb), np.int32)
+        xdev = device_tile(
+            one_file.reshape(ncb, fpc, channels)[None], (nb, 1, 1, nfb))
+        sff, sfb = settings.scale_factor_frames, settings.scale_factor_bits
+
+        @jax.jit
+        def transcode(x, fl, ti, h, wts, p):
+            rows, *_ = encode_corpus_cbr_packed_blocks(
+                x, fl, ti, h, wts, p,
+                scale_factor_frames=sff, scale_factor_bits=sfb,
+                residual_size=3, n_files=nfb, use_pallas=use_pallas,
+            )
+            flat = rows.reshape(nb * nfb * ncb, rows.shape[-1])
+            return transcode_chunks_cbr_device(
+                flat, channels, scale_factor_bits=sfb, scale_factor_frames=sff,
+                residual_size=3, frames=fpc, use_pallas=use_pallas,
+            )
+
+        fn = lambda: transcode(xdev, frames_lane, tail_idx, h0, w0, p0)
+        t = timed_device(fn, lambda o: np.asarray(o[0, 0, 0]), reps=5)
+        # correctness anchor: the first file's transcoded PCM must equal the
+        # native codec's round trip of the same samples
+        pcm0 = np.asarray(fn()[:ncb]).reshape(-1)
+        want, _r, _c = native_decode(
+            native_encode(one_file, TEST_SAMPLE_RATE, channels,
+                          frames_per_chunk=fpc))
+        assert np.array_equal(pcm0, want), "device transcode != native round trip"
+        n_tr = nb * nfb * ncb * fpc * channels
+        msps = n_tr / t / 1e6
+        log(f"device transcode encode+decode ({nb * nfb} files, one program, "
+            f"bytes stay in HBM): {t * 1e3:.0f} ms = {msps:.1f} Msamples/s")
+        return msps
+
+    R["transcode_msps"] = stage("transcode_device", 30, x_transcode_device,
+                                force=True)
 
     stv = EncoderSettings(residual_bits=2.5, vbr=True, frames_per_chunk=fpc)
 
