@@ -10,8 +10,12 @@ i16 sign extension. No host round trip: together with
 encode → bytes → decode pipeline entirely on device
 (``transcode_chunks_cbr_device``).
 
-VBR rows have data-dependent section offsets and stay on the host parser
-(``batch.parse_full_chunks``).
+VBR full-chunk rows parse on device too (``parse_chunks_vbr_device``):
+every *section offset* is static — only the residual bitstream's internal
+layout is data-dependent, and that is the decoder's job
+(``chunk.rs:126-142``: the 2-bit size deltas are a constant-width section).
+Only VBR *serialization* stays on the host (data-dependent pack widths,
+``batch.serialize_full_chunks``).
 """
 
 from __future__ import annotations
@@ -100,6 +104,86 @@ def transcode_chunks_cbr_device(
         residual_size=residual_size,
         use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
+        fused=fused,
+    )
+
+
+def parse_chunks_vbr_device(
+    rows: jnp.ndarray,  # uint8[N, chunk_size] full VBR container rows
+    channels: int,
+    scale_factor_bits: int,
+    scale_factor_frames: int,
+    residual_size: int,  # the chunk header's base size (floor(residual_bits))
+    frames: int,
+):
+    """VBR rows -> (res_bytes, sf_codes, rs, hist, wts). The per-window
+    residual sizes come from the constant-width 2-bit delta section:
+    ``rs = delta + residual_size - 1`` (reference ``chunk.rs:136-139``)."""
+    n = rows.shape[0]
+    c = channels
+    w = -(-frames // scale_factor_frames)
+    sf_bytes = -(-(w * c * scale_factor_bits) // 8)
+    vbr_bytes = -(-(w * c * 2) // 8)
+    sf_off = 4 + 16 * c
+    vbr_off = sf_off + sf_bytes
+    res_off = vbr_off + vbr_bytes
+
+    lms_b = rows[:, 4:sf_off].reshape(n, c, 8, 2).astype(jnp.int32)
+    lms16 = lms_b[..., 0] | (lms_b[..., 1] << 8)
+    lms = (lms16 ^ 0x8000) - 0x8000
+    hist, wts = lms[:, :, :4], lms[:, :, 4:]
+
+    sf = (
+        unpack_const_strided(rows[:, sf_off:vbr_off], scale_factor_bits, w * c)
+        .reshape(n, w, c)
+    )
+    deltas = unpack_const_strided(rows[:, vbr_off:res_off], 2, w * c)
+    rs = (deltas.astype(jnp.int32) + (residual_size - 1)).astype(jnp.uint8)
+    return rows[:, res_off:], sf, rs.reshape(n, w, c), hist, wts
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "channels",
+        "scale_factor_bits",
+        "scale_factor_frames",
+        "residual_size",
+        "frames",
+        "max_code_bits",
+        "use_pallas",
+        "pallas_interpret",
+        "fused",
+    ),
+)
+def decode_rows_vbr_device(
+    rows: jnp.ndarray,  # uint8[N, chunk_size] full VBR container rows
+    channels: int,
+    scale_factor_bits: int,
+    scale_factor_frames: int,
+    residual_size: int,
+    frames: int,
+    max_code_bits: int = 8,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+    fused: bool = True,
+) -> jnp.ndarray:  # int16[N, frames, channels]
+    """VBR decode straight from container rows, parse included on device."""
+    parsed = parse_chunks_vbr_device(
+        rows, channels, scale_factor_bits, scale_factor_frames,
+        residual_size, frames,
+    )
+    dqt_flat = jnp.asarray(
+        tables.dqt_stacked(scale_factor_bits).reshape(-1), jnp.int32
+    )
+    return decode_chunks_packed_fn(
+        *parsed, dqt_flat,
+        scale_factor_frames=scale_factor_frames,
+        frames=frames,
+        residual_size=0,  # VBR: widths come from the parsed rs
+        use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret,
+        max_code_bits=max_code_bits,
         fused=fused,
     )
 

@@ -105,3 +105,48 @@ def test_transcode_device_from_device_encoded_rows():
     for i, f in enumerate(files):
         want = sea_decode(sea_encode(f, TEST_SAMPLE_RATE, channels, st)).samples
         np.testing.assert_array_equal(pcm[i], np.asarray(want))
+
+
+@pytest.mark.parametrize("channels,target", [(1, 2.5), (2, 2.5), (2, 5.0)])
+def test_vbr_parse_and_decode_rows(channels, target):
+    """VBR rows parse on device identically to the host parser, and
+    decode_rows_vbr_device's PCM matches the one-shot API."""
+    from sea_codec_tpu.ops.parse_device import (
+        decode_rows_vbr_device,
+        parse_chunks_vbr_device,
+    )
+
+    fpc, sff = 200, 20
+    frames = 4 * fpc
+    sig = varied_signal(channels, frames, seed=92)
+    st = EncoderSettings(
+        frames_per_chunk=fpc, scale_factor_frames=sff,
+        residual_bits=target, vbr=True,
+    )
+    encoded = sea_encode(sig, TEST_SAMPLE_RATE, channels, st)
+    header, rect, tail = split_chunks(encoded)
+    assert not tail and rect.shape[0] == 4
+    base = int(target)
+
+    want = parse_full_chunks(rect, header)
+    res, sf, rs_a, hist, wts = (
+        np.asarray(a)
+        for a in parse_chunks_vbr_device(
+            rect, channels, scale_factor_bits=4, scale_factor_frames=sff,
+            residual_size=base, frames=fpc,
+        )
+    )
+    np.testing.assert_array_equal(sf, want.sf)
+    np.testing.assert_array_equal(rs_a, want.rs)
+    np.testing.assert_array_equal(hist, want.hist)
+    np.testing.assert_array_equal(wts, want.wts)
+    np.testing.assert_array_equal(res[:, : want.res_bytes.shape[1]], want.res_bytes)
+
+    out = np.asarray(
+        decode_rows_vbr_device(
+            rect, channels, scale_factor_bits=4, scale_factor_frames=sff,
+            residual_size=base, frames=fpc, max_code_bits=min(8, base + 2),
+        )
+    )
+    want_pcm = np.asarray(sea_decode(encoded).samples).reshape(-1, fpc, channels)
+    np.testing.assert_array_equal(out, want_pcm)
