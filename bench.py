@@ -905,17 +905,18 @@ def _worker_body() -> None:
         # (lane = ch*N + chunk) -- a production consumer adapts its layout
         # to the producer instead of paying a 2-GB/s-class [N, F, C]
         # transpose it does not need
-        from sea_codec_tpu.ops.pallas_dequant import (
-            decode_chunks_packed_fused,
-            fused_prolog_supported,
+        from sea_codec_tpu.ops.pallas_fused_decode import (
+            G_SUB,
+            decode_chunks_packed_fused_single,
+            fused_single_supported,
         )
 
         n_c_chunks = nc_base * mult_c
-        # % 512 (the fused path's LANES): a multiple of only 128 would pad
-        # pcm lanes to 512 while orig_l stays unpadded -> shape mismatch
-        lane_ok = use_pallas and fused_prolog_supported(
+        # % 2048 (the single-kernel path's lane block): a partial block
+        # would pad pcm lanes while orig_l stays unpadded -> shape mismatch
+        lane_ok = use_pallas and fused_single_supported(
             bc.residual_size, fpc, bc.scale_factor_frames, channels
-        ) and n_c_chunks % 512 == 0
+        ) and n_c_chunks % (G_SUB * 128) == 0
         orig_l = jax.block_until_ready(
             jax.jit(lambda o: o.transpose(1, 2, 0).reshape(fpc, -1))(orig)
         ) if lane_ok else orig
@@ -923,7 +924,7 @@ def _worker_body() -> None:
         @jax.jit
         def consume(res, sf, rs, hist, wts, orig):
             if lane_ok:
-                pcm = decode_chunks_packed_fused(
+                pcm = decode_chunks_packed_fused_single(
                     res, sf, hist, wts,
                     scale_factor_frames=bc.scale_factor_frames, frames=fpc,
                     residual_size=bc.residual_size,

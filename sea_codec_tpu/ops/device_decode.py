@@ -546,12 +546,29 @@ def decode_chunks_packed_fn(
     sfb = int(np.log2(dqt_flat.shape[0] // (8 * 256)))
     if residual_size and fused_enabled:
         from .pallas_dequant import decode_chunks_packed_fused, fused_prolog_supported
+        from .pallas_fused_decode import (
+            decode_chunks_packed_fused_single,
+            fused_single_supported,
+        )
 
+        if fused_single_supported(residual_size, frames, scale_factor_frames, c):
+            # ONE kernel: unpack+dequant+recurrence with the dq stream in
+            # VMEM scratch -- measured 1.7x the two-kernel fused path
+            # (sustained 54.9 -> 31.9 ms on 1007 Msamples,
+            # scripts/exp_fused_single.py; see ops/pallas_fused_decode.py)
+            return decode_chunks_packed_fused_single(
+                res_bytes, sf_codes, hist0, wts0,
+                scale_factor_frames=scale_factor_frames,
+                frames=frames,
+                residual_size=residual_size,
+                sfb=sfb,
+                interpret=pallas_interpret,
+            )
         if fused_prolog_supported(residual_size, frames, scale_factor_frames, c):
-            # one-pass Pallas prolog: unpack+dequant straight from the
-            # byte-transposed bitstream into the recurrence kernel's
-            # lane-major layout -- measured 2x the split XLA prolog
-            # (108 -> 54 ms on 503 Msamples, see ops/pallas_dequant.py)
+            # two-kernel fallback: Pallas unpack+dequant prolog into the
+            # lane-major recurrence kernel, dq through HBM -- for
+            # geometries whose dq scratch exceeds the single kernel's
+            # VMEM bound (see fused_single_supported)
             return decode_chunks_packed_fused(
                 res_bytes, sf_codes, hist0, wts0,
                 scale_factor_frames=scale_factor_frames,
@@ -565,15 +582,18 @@ def decode_chunks_packed_fn(
         and fused_enabled
         and (matmul_fetch is None or matmul_fetch)
     ):
-        from .pallas_dequant import decode_chunks_packed_fused_vbr, fused_vbr_supported
+        from .pallas_fused_decode import (
+            decode_chunks_packed_fused_vbr_single,
+            fused_vbr_single_supported,
+        )
 
-        if fused_vbr_supported(
+        if fused_vbr_single_supported(
             frames, scale_factor_frames, c, res_bytes.shape[1], max_code_bits
         ):
-            # fused VBR prolog: MXU neighborhood fetch + one Pallas
-            # extract+dequant pass straight into the recurrence kernel's
-            # lane-major layout (scripts/perf_vbr_attribution.py)
-            return decode_chunks_packed_fused_vbr(
+            # MXU neighborhood fetch + ONE Pallas kernel (extract + dequant
+            # + recurrence, dq in VMEM scratch) -- the VBR analog of the
+            # single-kernel CBR path (scripts/exp_fused_single.py)
+            return decode_chunks_packed_fused_vbr_single(
                 res_bytes, sf_codes, rs, hist0, wts0,
                 scale_factor_frames=scale_factor_frames,
                 frames=frames,

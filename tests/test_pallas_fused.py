@@ -1,0 +1,113 @@
+"""Single-kernel fused CBR decode (ops/pallas_fused_decode.py) bit-equality.
+
+Interpret-mode Pallas vs the production XLA decode path on the same parsed
+chunks — any divergence in the unpack geometry, curve math, or recurrence
+carry shows up as a sample mismatch."""
+
+import numpy as np
+import pytest
+
+from sea_codec_tpu import EncoderSettings, sea_decode, sea_encode
+from sea_codec_tpu.batch import parse_full_chunks, split_chunks
+from sea_codec_tpu.ops.pallas_fused_decode import (
+    decode_chunks_packed_fused_single,
+    fused_single_supported,
+)
+from sea_codec_tpu.utils.signal import TEST_SAMPLE_RATE, varied_signal
+
+
+@pytest.mark.parametrize(
+    "channels,rs,fpc,sff",
+    [
+        (1, 3, 200, 20),
+        (2, 3, 200, 20),
+        (2, 1, 200, 20),
+        (2, 5, 100, 20),
+        (3, 4, 200, 20),
+        (2, 8, 100, 10),
+    ],
+)
+def test_fused_single_matches_api(channels, rs, fpc, sff):
+    assert fused_single_supported(rs, fpc, sff, channels)
+    frames = 3 * fpc
+    sig = varied_signal(channels, frames, seed=55)
+    st = EncoderSettings(
+        frames_per_chunk=fpc, scale_factor_frames=sff, residual_bits=float(rs)
+    )
+    encoded = sea_encode(sig, TEST_SAMPLE_RATE, channels, st)
+    header, rect, tail = split_chunks(encoded)
+    assert not tail
+    b = parse_full_chunks(rect, header)
+
+    out = np.asarray(
+        decode_chunks_packed_fused_single(
+            b.res_bytes, b.sf, b.hist, b.wts,
+            scale_factor_frames=sff, frames=fpc, residual_size=rs,
+            sfb=b.scale_factor_bits, interpret=True,
+        )
+    )
+    want = np.asarray(sea_decode(encoded).samples).reshape(-1, fpc, channels)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_fused_single_lane_output_layout():
+    channels, rs, fpc, sff = 2, 3, 200, 20
+    sig = varied_signal(channels, 2 * fpc, seed=56)
+    st = EncoderSettings(
+        frames_per_chunk=fpc, scale_factor_frames=sff, residual_bits=float(rs)
+    )
+    encoded = sea_encode(sig, TEST_SAMPLE_RATE, channels, st)
+    header, rect, _ = split_chunks(encoded)
+    b = parse_full_chunks(rect, header)
+    lane = np.asarray(
+        decode_chunks_packed_fused_single(
+            b.res_bytes, b.sf, b.hist, b.wts,
+            scale_factor_frames=sff, frames=fpc, residual_size=rs,
+            sfb=b.scale_factor_bits, interpret=True, lane_output=True,
+        )
+    )
+    n = rect.shape[0]
+    npad = lane.shape[1] // channels
+    full = np.asarray(sea_decode(encoded).samples).reshape(n, fpc, channels)
+    # lane = ch * npad + chunk (the recurrence kernels' native layout)
+    got = lane.reshape(fpc, channels, npad)[:, :, :n].transpose(2, 0, 1)
+    np.testing.assert_array_equal(got, full)
+
+
+@pytest.mark.parametrize(
+    "channels,target,fpc,sff",
+    [
+        (1, 2.5, 200, 20),
+        (2, 2.5, 200, 20),
+        (2, 5.0, 100, 20),
+        (3, 3.5, 200, 20),
+        (2, 7.5, 100, 10),
+    ],
+)
+def test_vbr_fused_single_matches_api(channels, target, fpc, sff):
+    from sea_codec_tpu.ops.pallas_fused_decode import (
+        decode_chunks_packed_fused_vbr_single,
+    )
+
+    frames = 3 * fpc
+    sig = varied_signal(channels, frames, seed=57)
+    st = EncoderSettings(
+        frames_per_chunk=fpc, scale_factor_frames=sff,
+        residual_bits=target, vbr=True,
+    )
+    encoded = sea_encode(sig, TEST_SAMPLE_RATE, channels, st)
+    header, rect, tail = split_chunks(encoded)
+    assert not tail
+    b = parse_full_chunks(rect, header)
+
+    out = np.asarray(
+        decode_chunks_packed_fused_vbr_single(
+            b.res_bytes, b.sf, b.rs, b.hist, b.wts,
+            scale_factor_frames=sff, frames=fpc,
+            sfb=b.scale_factor_bits,
+            max_code_bits=int(np.max(b.rs)),
+            interpret=True,
+        )
+    )
+    want = np.asarray(sea_decode(encoded).samples).reshape(-1, fpc, channels)
+    np.testing.assert_array_equal(out, want)
