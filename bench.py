@@ -60,11 +60,12 @@ T_START = time.perf_counter()
 BUDGET = float(os.environ.get("SEA_BENCH_BUDGET", "540"))
 HARD_S = float(os.environ.get("SEA_BENCH_HARD_S", str(BUDGET + 150)))
 # +150 (not +60): the Mosaic first-load roulette has been observed at 576 s
-# under server load; BUDGET+150 leaves room for the absorber to finish AND
-# the unguarded ~20 s headline to land before the watchdog emits, instead
-# of nulling the round's key metric by a one-minute margin. The round-2
-# driver tolerated a ~660 s run, so the extra exposure is bounded and only
-# materializes when a stage genuinely hangs.
+# and even 675 s under server load; BUDGET+150 leaves room for the absorber
+# to finish AND the unguarded ~15 s headline to land before the watchdog
+# emits, instead of nulling the round's key metric by a one-minute margin
+# (verified at roulette=675 s: value + decode_sustained still made the
+# JSON). The round-2 driver tolerated a ~660 s run, so the extra exposure
+# is bounded and only materializes when a stage genuinely hangs.
 # SEA_BENCH_SMOKE=1: shrink the device batch multipliers/corpora so the FULL
 # stage list executes on a CPU backend in minutes -- validates every stage's
 # code path and the emit/watchdog plumbing, NOT performance. Never set by

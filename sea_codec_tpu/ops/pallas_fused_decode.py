@@ -252,10 +252,13 @@ def _plan_vbr_blocks_3d(wg: int, gc: int, nw: int):
     import math
 
     mw = 8 // math.gcd(gc, 8)
+    # growth bounds sized against the 16 MB scoped-VMEM kernel stack: the
+    # extraction phase keeps ~10 [mw*gc, G_SUB, 128] i32 temps live, so
+    # out_rows is capped at 256 (mw*gc=320 measured 16.88M > 16M on v5e)
     while (
-        2 * mw * gc <= 512
-        and 2 * mw * nw * G_SUB * 128 * 4 <= (1 << 22)
-        and 2 * mw * gc * G_SUB * 128 * 2 <= (1 << 22)
+        2 * mw * gc <= 256
+        and 2 * mw * nw * G_SUB * 128 * 4 <= (1 << 21)
+        and 2 * mw * gc * G_SUB * 128 * 2 <= (1 << 21)
     ):
         mw *= 2
     wgp = -(-wg // mw) * mw
