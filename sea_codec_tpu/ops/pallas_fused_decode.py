@@ -39,7 +39,7 @@ from .pallas_dequant import _plan_blocks
 G_SUB = 16  # chunk groups per block: G_SUB * 128 = 2048 chunks / grid step
 
 
-def _make_fused_kernel(rs: int, sff: int, c: int, m: int):
+def _make_fused_kernel(rs: int, sff: int, c: int, m: int, packed32: bool = False):
     g8 = 8
     out_rows = m * sff * c
     brows = out_rows * rs // 8
@@ -57,7 +57,21 @@ def _make_fused_kernel(rs: int, sff: int, c: int, m: int):
 
         # ---- phase 1: unpack + dequant into VMEM scratch (never HBM) ----
         mask = jnp.int32((1 << rs) - 1)
-        v = v_ref[...].astype(jnp.int32)  # [brows, G, 128]
+        if packed32:
+            # bytes arrive 4-per-int32 (little-endian bitcast): the host
+            # transpose shuffles 4x fewer elements, and the byte rows are
+            # rebuilt here with 2 vector ops per row
+            v32 = v_ref[...]  # int32 [brows//4, G, 128]
+            v = jnp.stack(
+                [
+                    jax.lax.shift_right_logical(v32, jnp.int32(8 * j))
+                    & jnp.int32(255)
+                    for j in range(4)
+                ],
+                axis=1,
+            ).reshape(brows, G_SUB, 128)
+        else:
+            v = v_ref[...].astype(jnp.int32)  # [brows, G, 128]
         w16 = (v << jnp.int32(8)) | jnp.concatenate([v[1:], v[:1]], axis=0)
         wg = w16.reshape(ng, rs, G_SUB, 128)
         picks = [wg[:, (r * rs) // 8] for r in range(g8)]  # 8 x [ng, G, 128]
@@ -112,9 +126,10 @@ def _make_fused_kernel(rs: int, sff: int, c: int, m: int):
     return kernel, brows, out_rows, frames_blk
 
 
-@partial(jax.jit, static_argnames=("rs", "sff", "c", "m", "interpret"))
+@partial(jax.jit, static_argnames=("rs", "sff", "c", "m", "interpret", "packed32"))
 def decode_cbr_fused_single(
-    resT3: jnp.ndarray,  # uint8[Bpad, GT, 128]: byte rows x chunk groups x lanes
+    resT3: jnp.ndarray,  # uint8[Bpad, GT, 128] byte rows x chunk groups x
+    # lanes, or int32[Bpad//4, GT, 128] little-endian packed (packed32=True)
     sfvalT3: jnp.ndarray,  # f32[Wpad, C, GT, 128]
     lms3: jnp.ndarray,  # int32[8, C, GT, 128] planes h0..h3, w0..w3
     rs: int,
@@ -122,11 +137,16 @@ def decode_cbr_fused_single(
     c: int,
     m: int,
     interpret: bool = False,
+    packed32: bool = False,
 ) -> jnp.ndarray:  # int16[Wpad*sff, C, GT, 128] PCM, frame-major
+    rdiv = 4 if packed32 else 1
     bpad, gt, _ = resT3.shape
     wp = sfvalT3.shape[0]
-    kernel, brows, out_rows, frames_blk = _make_fused_kernel(rs, sff, c, m)
-    assert bpad == (wp // m) * brows and gt % G_SUB == 0
+    kernel, brows, out_rows, frames_blk = _make_fused_kernel(
+        rs, sff, c, m, packed32=packed32
+    )
+    assert bpad * rdiv == (wp // m) * brows and gt % G_SUB == 0
+    brows //= rdiv
     grid = (gt // G_SUB, wp // m)
     z = lambda i: i * 0  # literal 0 breaks Mosaic indexing under x64
     return pl.pallas_call(
@@ -213,9 +233,16 @@ def decode_chunks_packed_fused_single(
     gt = npad // 128
     btot = (wp // m) * ((m * sff * c * rs) // 8)
 
-    resT = jnp.zeros((btot, npad), jnp.uint8)
     breal = min(res_bytes.shape[1], btot)
+    # NOTE: an int32-packed transpose variant (bitcast 4 bytes -> i32, 4x
+    # fewer shuffled elements, in-kernel byte re-expansion; kernel path
+    # packed32=True) measured SLOWER at bench scale: 48.8 vs 32.5 ms/program
+    # sustained (scripts/exp_byte_transpose.py) -- the u8[..,4]->i32 bitcast
+    # is itself a minor-axis regrouping relayout that out-costs the saved
+    # shuffles. The uint8 plane transpose stays.
+    resT = jnp.zeros((btot, npad), jnp.uint8)
     resT = resT.at[:breal, :n].set(res_bytes[:, :breal].T)
+    feed = resT.reshape(btot, gt, 128)
 
     sfval_win, *_ = _dequant_window_constants(
         sf_codes.astype(jnp.int32), jnp.full((n, w, c), rs, jnp.int32), sfb, rs
@@ -228,7 +255,7 @@ def decode_chunks_packed_fused_single(
     lms = lms.at[:, :, :n].set(jnp.transpose(state, (2, 1, 0)))
 
     out = decode_cbr_fused_single(
-        resT.reshape(btot, gt, 128),
+        feed,
         sfvalT.reshape(wp, c, gt, 128),
         lms.reshape(8, c, gt, 128),
         rs=rs, sff=sff, c=c, m=m, interpret=interpret,

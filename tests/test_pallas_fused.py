@@ -50,6 +50,68 @@ def test_fused_single_matches_api(channels, rs, fpc, sff):
     np.testing.assert_array_equal(out, want)
 
 
+def test_fused_single_packed32_kernel_path():
+    """The int32-packed input variant of the kernel (kept for measurement,
+    rejected as the default: scripts/exp_byte_transpose.py) stays
+    bit-identical to the uint8 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from sea_codec_tpu.ops.device_decode import _dequant_window_constants
+    from sea_codec_tpu.ops.pallas_dequant import _plan_blocks
+    from sea_codec_tpu.ops.pallas_fused_decode import (
+        G_SUB,
+        decode_cbr_fused_single,
+    )
+
+    channels, rs, fpc, sff = 2, 3, 200, 20
+    sig = varied_signal(channels, 2 * fpc, seed=57)
+    st = EncoderSettings(
+        frames_per_chunk=fpc, scale_factor_frames=sff, residual_bits=float(rs)
+    )
+    encoded = sea_encode(sig, TEST_SAMPLE_RATE, channels, st)
+    header, rect, _ = split_chunks(encoded)
+    b = parse_full_chunks(rect, header)
+
+    n, w, c = b.sf.shape
+    m, wp = _plan_blocks(w, sff, c, rs)
+    brows = (m * sff * c * rs) // 8
+    assert brows % 4 == 0
+    npad = -(-n // (G_SUB * 128)) * (G_SUB * 128)
+    gt = npad // 128
+    btot = (wp // m) * brows
+    breal = min(b.res_bytes.shape[1], btot)
+    rows8 = jnp.zeros((n, btot), jnp.uint8).at[:, :breal].set(
+        jnp.asarray(b.res_bytes)[:, :breal]
+    )
+    r32 = jax.lax.bitcast_convert_type(rows8.reshape(n, btot // 4, 4), jnp.int32)
+    feed = jnp.zeros((btot // 4, npad), jnp.int32).at[:, :n].set(r32.T)
+    sfval_win, *_ = _dequant_window_constants(
+        jnp.asarray(b.sf, jnp.int32), jnp.full((n, w, c), rs, jnp.int32),
+        b.scale_factor_bits, rs,
+    )
+    sfvalT = jnp.zeros((wp, c, npad), jnp.float32).at[:w, :, :n].set(
+        jnp.transpose(sfval_win, (1, 2, 0))
+    )
+    state = jnp.concatenate(
+        [jnp.asarray(b.hist, jnp.int32), jnp.asarray(b.wts, jnp.int32)], axis=-1
+    )
+    lms = jnp.zeros((8, c, npad), jnp.int32).at[:, :, :n].set(
+        jnp.transpose(state, (2, 1, 0))
+    )
+    out = decode_cbr_fused_single(
+        feed.reshape(btot // 4, gt, 128),
+        sfvalT.reshape(wp, c, gt, 128),
+        lms.reshape(8, c, gt, 128),
+        rs=rs, sff=sff, c=c, m=m, interpret=True, packed32=True,
+    )
+    got = np.asarray(out.reshape(wp * sff, c, npad)[:fpc, :, :n]).transpose(
+        2, 0, 1
+    )
+    want = np.asarray(sea_decode(encoded).samples).reshape(-1, fpc, channels)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_single_lane_output_layout():
     channels, rs, fpc, sff = 2, 3, 200, 20
     sig = varied_signal(channels, 2 * fpc, seed=56)
