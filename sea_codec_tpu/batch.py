@@ -79,6 +79,11 @@ def parse_full_chunks(body: np.ndarray, header: SeaFileHeader) -> ParsedBatch:
 
     pos = 4
     lms_bytes = c * 16
+    # corrupt headers can declare a chunk_size smaller than the sections the
+    # chunk config implies; a clipped slice would crash the reshape/view
+    # below instead of rejecting (same checks as SeaChunk.from_bytes)
+    if body.shape[1] < pos + lms_bytes:
+        raise SeaInvalidFrame("chunk too short for LMS state")
     lms = (
         np.ascontiguousarray(body[:, pos : pos + lms_bytes])
         .view("<i2")
@@ -91,22 +96,35 @@ def parse_full_chunks(body: np.ndarray, header: SeaFileHeader) -> ParsedBatch:
     w = -(-fpc // sff)
     sf_items = scale_factor_items(fpc, sff, c)
     sf_bytes = bitpack.packed_byte_len(sfb, sf_items)
+    if body.shape[1] < pos + sf_bytes:
+        raise SeaInvalidFrame("chunk too short for scale factors")
     sf = bitpack.unpack_bits_rows(body[:, pos : pos + sf_bytes], sfb, sf_items)
     sf = sf.reshape(n, w, c)
     pos += sf_bytes
 
     if chunk_type == CHUNK_TYPE_VBR:
         vbr_bytes = bitpack.packed_byte_len(2, sf_items)
+        if body.shape[1] < pos + vbr_bytes:
+            raise SeaInvalidFrame("chunk too short for vbr sizes")
         deltas = bitpack.unpack_bits_rows(body[:, pos : pos + vbr_bytes], 2, sf_items)
         rs = (deltas.astype(np.int32) + residual_size - 1).astype(np.uint8).reshape(n, w, c)
         pos += vbr_bytes
         if np.any((rs < 1) | (rs > 8)):
             raise SeaInvalidFrame("bad vbr residual size")
+        # per-chunk residual bytes implied by the size table (full chunks:
+        # every window has sff frames except a shorter last one)
+        wframes = np.full(w, sff, dtype=np.int64)
+        wframes[-1] = fpc - (w - 1) * sff
+        res_need = -(-(rs.astype(np.int64) * wframes[None, :, None]).sum(axis=(1, 2)) // 8)
+        if int(res_need.max(initial=0)) > body.shape[1] - pos:
+            raise SeaInvalidFrame("chunk too short for residuals")
         res_bytes = np.ascontiguousarray(body[:, pos:])
         const_width = 0
     else:
         rs = np.full((n, w, c), residual_size, dtype=np.uint8)
         nbytes = bitpack.packed_byte_len(residual_size, fpc * c)
+        if body.shape[1] < pos + nbytes:
+            raise SeaInvalidFrame("chunk too short for residuals")
         res_bytes = np.ascontiguousarray(body[:, pos : pos + nbytes])
         const_width = residual_size
 

@@ -101,6 +101,10 @@ class SeaFileHeader:
             metadata = reader.read(metadata_size)
             if len(metadata) < metadata_size:
                 raise SeaInvalidFile("short metadata")
+        try:
+            metadata_str = metadata.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise SeaInvalidFile("metadata is not valid UTF-8") from e
         header = cls(
             version=version,
             channels=channels,
@@ -108,7 +112,7 @@ class SeaFileHeader:
             frames_per_chunk=frames_per_chunk,
             sample_rate=sample_rate,
             total_frames=total_frames,
-            metadata=metadata.decode("utf-8"),
+            metadata=metadata_str,
         )
         if not header.validate():
             raise SeaInvalidFile("invalid header fields")

@@ -71,3 +71,41 @@ def test_fuzz_decoder_never_crashes():
                 fn(data)
             except (SeaError, AssertionError):
                 pass  # rejected cleanly
+
+
+def test_corrupt_streams_raise_sea_error():
+    """Regression: corruption classes found by differential fuzzing escaped
+    as raw ValueError/UnicodeDecodeError from the fast batch parser instead
+    of SeaError (parse_full_chunks lacked the section-bound checks
+    SeaChunk.from_bytes has; header metadata decoded UTF-8 unguarded)."""
+    from sea_codec_tpu import SeaError, sea_decode
+    from sea_codec_tpu.batch import decode_sea
+
+    samples = gen_test_signal(2, 4000)
+    valid = sea_encode(
+        samples, TEST_SAMPLE_RATE, 2,
+        EncoderSettings(frames_per_chunk=1000, metadata="k=v\n"),
+    )
+    valid_vbr = sea_encode(
+        samples, TEST_SAMPLE_RATE, 2,
+        EncoderSettings(frames_per_chunk=1000, vbr=True, residual_bits=2.5),
+    )
+
+    cases = []
+    b = bytearray(valid)
+    b[24] = 0xE0  # metadata bytes (offset 24..27) no longer valid UTF-8
+    cases.append(bytes(b))
+    b = bytearray(valid)
+    b[5] = 200  # channels: LMS section alone now exceeds chunk_size
+    cases.append(bytes(b))
+    b = bytearray(valid)
+    b[5] = 9  # channels: sections overrun chunk_size mid-chunk
+    cases.append(bytes(b))
+    b = bytearray(valid_vbr)
+    b[5] = 5  # channels up on a VBR stream: residual section overrun
+    cases.append(bytes(b))
+
+    for data in cases:
+        for fn in (sea_decode, decode_sea):
+            with pytest.raises(SeaError):
+                fn(data)
