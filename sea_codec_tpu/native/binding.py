@@ -161,6 +161,11 @@ def native_decode(encoded: bytes) -> tuple[np.ndarray, int, int]:
     )
     if rc != 0:
         raise ValueError(f"native decode probe failed: {rc}")
+    # format bound: residuals are >= 1 bit/sample, so decoded bytes can never
+    # exceed 16x the stream bytes; a corrupt header that probes bigger must
+    # not drive the allocation (fuzzing: 2 TB np.zeros from a flipped header)
+    if frames.value * channels.value * 2 > 16 * len(encoded) + 4096:
+        raise ValueError("native decode probe: implausible decoded size")
     out = np.zeros(frames.value * channels.value, dtype=np.int16)
     rc = lib.sea_native_decode(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -536,12 +536,18 @@ int sea_native_decode(const uint8_t* data, uint64_t len, int16_t* out,
     if (channels == 0 || chunk_size < 16 || fpc == 0 || rate == 0) return 1;
     *out_channels = channels;
     *out_rate = rate;
-    size_t pos = 22 + metadata_len;
+    size_t pos = 22 + (size_t)metadata_len;
+    if (pos > len) return 1;  // metadata_len past EOF: (len - pos) would wrap
     uint64_t frames_avail = total_frames;
     if (total_frames == 0) {
         // streaming: count whole chunks (frame count unknowable from header)
         frames_avail = ((len - pos) / chunk_size) * fpc;
     }
+    // a corrupt total_frames can exceed what the bytes can possibly hold;
+    // clamp so the caller's probe-sized output buffer stays plausible
+    uint64_t max_frames =
+        ((len - pos + chunk_size - 1) / chunk_size) * (uint64_t)fpc;
+    if (frames_avail > max_frames) frames_avail = max_frames;
     *out_total_frames = frames_avail;
     if (out == nullptr) return 0;
 

@@ -139,3 +139,27 @@ def test_native_pack_rows_matches_bitpack():
         np.testing.assert_array_equal(
             native_pack_rows(vals, wd, want.shape[1]), want
         )
+
+
+def test_native_decode_header_bounds():
+    """Regression (fuzzing): a corrupt total_frames or metadata_size header
+    field must not drive the probe-sized allocation (observed: multi-TB
+    np.zeros) or wrap the chunk-region arithmetic past EOF."""
+    samples = gen_test_signal(1, 3000)
+    valid = sea_encode(
+        samples, TEST_SAMPLE_RATE, 1, EncoderSettings(frames_per_chunk=1000)
+    )
+    # total_frames (offset 14..17) -> u32 max: probe must clamp to the bytes
+    # actually present, so the decode either truncates gracefully or rejects
+    b = bytearray(valid)
+    b[14:18] = (0xFFFFFFFF).to_bytes(4, "little")
+    try:
+        out, _, _ = native_decode(bytes(b))
+        assert out.shape[0] <= len(valid) * 8  # format bound, not TB-scale
+    except ValueError:
+        pass
+    # metadata_size (offset 18..21) past EOF: size_t (len - pos) would wrap
+    b = bytearray(valid)
+    b[18:22] = (0xFFFFFF00).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        native_decode(bytes(b))
