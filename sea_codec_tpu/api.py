@@ -29,11 +29,11 @@ def sea_encode(
     engine: str = "auto",
 ) -> bytes:
     """Encode interleaved i16 samples to ``.sea`` bytes."""
-    from .encoder import EncoderSettings, SeaEncoder
+    from .encoder import EncoderSettings, SeaEncoder, coerce_samples
 
     if settings is None:
         settings = EncoderSettings()
-    samples = np.asarray(input_samples, dtype=np.int16)
+    samples = coerce_samples(input_samples)
     if engine in ("auto", "batch"):
         from .batch import encode_sea
 

@@ -342,7 +342,7 @@ def encode_sea(
     the session encoder / one-shot API."""
     import jax.numpy as jnp
 
-    from .encoder import EncoderSettings, validate_encode_params
+    from .encoder import EncoderSettings, coerce_samples, validate_encode_params
     from .models.vbr import interpolate_distribution, normalized_vbr_bitrate
     from .ops import lms as lms_ops
     from .ops.device_decode import default_use_pallas
@@ -350,7 +350,7 @@ def encode_sea(
 
     if settings is None:
         settings = EncoderSettings()
-    samples = np.asarray(samples, dtype=np.int16)
+    samples = coerce_samples(samples)
     validate_encode_params(channels, settings, samples.shape[0] // max(channels, 1))
     c = channels
     fpc = settings.frames_per_chunk
@@ -619,11 +619,12 @@ def encode_corpus(
     mesh the kernel path requires a TPU backend and falls back to per-file
     encoding elsewhere.
     """
-    from .encoder import EncoderSettings, validate_encode_params
+    from .encoder import EncoderSettings, coerce_samples, validate_encode_params
 
     if settings is None:
         settings = EncoderSettings()
     validate_encode_params(channels, settings)
+    files = [coerce_samples(f) for f in files]
     from .ops.device_decode import default_use_pallas
 
     use_pallas = default_use_pallas()

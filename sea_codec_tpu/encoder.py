@@ -70,6 +70,31 @@ def validate_encode_params(
         raise SeaMetadataTooLarge("metadata exceeds the u32 size field")
 
 
+def coerce_samples(input_samples) -> np.ndarray:
+    """Validate/convert encode input to a 1-D int16 array.
+
+    The reference takes ``&[i16]`` so these cases cannot arise there; here a
+    bare ``np.asarray(x, dtype=np.int16)`` would silently truncate float PCM
+    (normalized [-1, 1] floats become all-zero samples) and a 2-D array
+    would surface as an internal reshape ValueError."""
+    arr = np.asarray(input_samples)
+    if arr.ndim != 1:
+        raise SeaInvalidParameters(
+            f"samples must be a 1-D interleaved array (got {arr.ndim}-D)"
+        )
+    if arr.dtype == np.int16:
+        return arr
+    if not np.issubdtype(arr.dtype, np.integer):
+        raise SeaInvalidParameters(
+            f"samples must be int16, got {arr.dtype}; convert float PCM "
+            "explicitly (e.g. np.clip(np.round(x * 32767), -32768, 32767)"
+            ".astype(np.int16))"
+        )
+    if arr.size and (int(arr.max()) > 32767 or int(arr.min()) < -32768):
+        raise SeaInvalidParameters("integer samples exceed the int16 range")
+    return arr.astype(np.int16)
+
+
 class SeaEncoder:
     def __init__(
         self,

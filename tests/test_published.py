@@ -109,3 +109,33 @@ def test_corrupt_streams_raise_sea_error():
         for fn in (sea_decode, decode_sea):
             with pytest.raises(SeaError):
                 fn(data)
+
+
+def test_encode_input_validation():
+    """Float PCM must be rejected loudly (a silent int16 cast turns
+    normalized [-1,1] float audio into all-zero samples), 2-D input must
+    not surface as an internal reshape error, and safe integer dtypes
+    convert."""
+    from sea_codec_tpu import SeaError, sea_decode, sea_encode
+    from sea_codec_tpu.batch import encode_corpus
+    from sea_codec_tpu.batch import encode_sea as batch_encode
+
+    good = gen_test_signal(2, 2000)
+    for fn in (sea_encode, batch_encode):
+        with pytest.raises(SeaError):
+            fn(good.astype(np.float32) / 32768.0, TEST_SAMPLE_RATE, 2)
+        with pytest.raises(SeaError):
+            fn(good.reshape(-1, 2), TEST_SAMPLE_RATE, 2)
+        with pytest.raises(SeaError):
+            fn(good.astype(np.int32) * 100, TEST_SAMPLE_RATE, 2)  # overflow
+    with pytest.raises(SeaError):
+        encode_corpus([good, good.astype(np.float64)], TEST_SAMPLE_RATE, 2)
+    # int32 values within i16 range convert losslessly
+    enc = sea_encode(good.astype(np.int32), TEST_SAMPLE_RATE, 2)
+    assert np.array_equal(
+        sea_decode(enc).samples,
+        sea_decode(sea_encode(good, TEST_SAMPLE_RATE, 2)).samples,
+    )
+    # plain Python list input still works (asarray -> int64 -> checked cast)
+    enc2 = sea_encode(good.tolist(), TEST_SAMPLE_RATE, 2)
+    assert enc2 == enc
