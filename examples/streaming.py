@@ -51,11 +51,12 @@ class Pipe:
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--frames", type=int, default=50000)
+    p.add_argument("--fpc", type=int, default=5120)
     args = p.parse_args()
 
     channels, sample_rate = 2, 44100
     samples = gen_test_signal(channels, args.frames)
-    settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=5120)
+    settings = EncoderSettings(residual_bits=3.0, frames_per_chunk=args.fpc)
 
     pipe = Pipe()
     pcm_out = io.BytesIO()

@@ -33,6 +33,7 @@ def main() -> int:
     p.add_argument("--vbr", action="store_true")
     p.add_argument("--out", default="/tmp/transcode_out.wav")
     p.add_argument("--frames", type=int, default=44100, help="synthetic length")
+    p.add_argument("--fpc", type=int, default=5120, help="frames per chunk")
     args = p.parse_args()
 
     if args.input:
@@ -42,7 +43,9 @@ def main() -> int:
         sample_rate, channels = 44100, 2
         samples = gen_test_signal(channels, args.frames)
 
-    settings = sea.EncoderSettings(residual_bits=args.bitrate, vbr=args.vbr)
+    settings = sea.EncoderSettings(
+        residual_bits=args.bitrate, vbr=args.vbr, frames_per_chunk=args.fpc
+    )
     encoded = sea.sea_encode(samples, sample_rate, channels, settings)
     decoded = sea.sea_decode(encoded)
 

@@ -17,8 +17,8 @@ ROOT = Path(__file__).resolve().parent.parent
 EXAMPLES = sorted(p.name for p in (ROOT / "examples").glob("*.py"))
 
 ARGS = {
-    "transcode.py": ["--frames", "12000"],
-    "streaming.py": ["--frames", "12000"],
+    "transcode.py": ["--frames", "12000", "--fpc", "1000"],
+    "streaming.py": ["--frames", "12000", "--fpc", "1000"],
     "seek.py": ["--frames", "30000", "--start", "12345", "--count", "500"],
     "corpus.py": ["--files", "3", "--frames", "3000", "--fpc", "1000"],
     "metadata.py": [],
