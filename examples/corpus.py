@@ -33,6 +33,15 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# honor JAX_PLATFORMS even when a sitecustomize pre-registers a TPU plugin
+# programmatically (which overrides the env var; same forcing as tests/)
+import os  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from sea_codec_tpu import EncoderSettings, sea_decode, sea_encode
 from sea_codec_tpu.batch import decode_corpus, encode_corpus
 from sea_codec_tpu.utils.signal import varied_signal

@@ -25,6 +25,15 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# honor JAX_PLATFORMS even when a sitecustomize pre-registers a TPU plugin
+# programmatically (which overrides the env var; same forcing as tests/)
+import os  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from sea_codec_tpu import EncoderSettings, SeaDecoder, SeaEncoder, sea_decode, sea_encode
 from sea_codec_tpu.utils.signal import gen_test_signal
 

@@ -183,17 +183,38 @@ def decode_cbr_fused_single(
     )(lms3, resT3, sfvalT3)
 
 
+MAX_OUT_ROWS = 320  # scoped-VMEM kernel-stack bound: the unpack/dequant
+# phase keeps ~4-5 [out_rows, G_SUB, 128] i32/f32 temps live, and 480 rows
+# (the c=3 geometry of _plan_blocks) measured 16.88 MB > the 16 MB v5e
+# limit on hardware; 320 rows (c=2 at rs up to 8, the bench sweep) fits.
+
+
+def _plan_single(w: int, sff: int, c: int, rs: int):
+    """_plan_blocks, then halve m while the block would blow the kernel's
+    scoped-VMEM stack (keeping the byte-alignment invariant)."""
+    m, wp = _plan_blocks(w, sff, c, rs)
+    while (
+        m * sff * c > MAX_OUT_ROWS
+        and m % 2 == 0
+        and ((m // 2) * sff * c * rs) % 8 == 0
+    ):
+        m //= 2
+    return m, -(-w // m) * m
+
+
 def fused_single_supported(
     residual_size: int, frames: int, sff: int, c: int
 ) -> bool:
     """Same block-planning gate as the two-kernel fused path, plus the
-    VMEM bound on the dq scratch + out block of this kernel."""
+    VMEM bounds of this kernel (dq scratch + out block + unpack temps)."""
     from .pallas_dequant import fused_prolog_supported
 
     if not fused_prolog_supported(residual_size, frames, sff, c):
         return False
-    m, _wp = _plan_blocks(frames // sff, sff, c, residual_size)
+    m, _wp = _plan_single(frames // sff, sff, c, residual_size)
     out_rows = m * sff * c
+    if out_rows > MAX_OUT_ROWS:
+        return False
     # dq scratch (i16) + out block (i16, double-buffered) per grid step
     vmem = out_rows * G_SUB * 128 * 2 * 3
     return vmem <= (1 << 23)
@@ -227,7 +248,7 @@ def decode_chunks_packed_fused_single(
     n, w, c = sf_codes.shape
     sff = scale_factor_frames
     rs = residual_size
-    m, wp = _plan_blocks(w, sff, c, rs)
+    m, wp = _plan_single(w, sff, c, rs)
     lane_block = G_SUB * 128
     npad = -(-n // lane_block) * lane_block
     gt = npad // 128
