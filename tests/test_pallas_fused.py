@@ -173,3 +173,33 @@ def test_vbr_fused_single_matches_api(channels, target, fpc, sff):
     )
     want = np.asarray(sea_decode(encoded).samples).reshape(-1, fpc, channels)
     np.testing.assert_array_equal(out, want)
+
+
+def test_plan_single_respects_vmem_row_bound():
+    """Regression: _plan_blocks alone produced 480-row blocks at channels=3
+    (16.88 MB of scoped VMEM for the unpack temps, past the 16 MB hardware
+    limit; CPU interpret mode enforces no limit so only the real-TPU suite
+    saw it). _plan_single must keep out_rows <= MAX_OUT_ROWS whenever the
+    single-kernel path claims support, while preserving _plan_blocks's
+    byte-alignment and divisibility invariants."""
+    from sea_codec_tpu.ops.pallas_fused_decode import (
+        MAX_OUT_ROWS,
+        _plan_single,
+        fused_single_supported,
+    )
+
+    for c in range(1, 9):
+        for rs in range(1, 9):
+            for fpc, sff in [(200, 20), (100, 20), (100, 10), (5120, 20), (2560, 10)]:
+                if fpc % sff:
+                    continue
+                w = fpc // sff
+                m, wp = _plan_single(w, sff, c, rs)
+                assert (m * sff * c * rs) % 8 == 0, (c, rs, fpc, sff)
+                assert wp % m == 0 and wp >= w, (c, rs, fpc, sff)
+                if fused_single_supported(rs, fpc, sff, c):
+                    assert m * sff * c <= MAX_OUT_ROWS, (c, rs, fpc, sff)
+
+    # the exact geometry the hardware suite caught: channels=3 defaults
+    m3, _ = _plan_single(5120 // 20, 20, 3, 3)
+    assert m3 * 20 * 3 <= MAX_OUT_ROWS
