@@ -7,9 +7,12 @@ independent; results are assembled host-side). These helpers wrap
 ``jax.distributed`` so the corpus pipeline runs unchanged on a multi-host
 deployment; on a single host they are no-ops.
 
-This module cannot be exercised in the single-host test environment; the
-sharding it produces is the same `Mesh`/`NamedSharding` layout that
-`tests/test_parallel.py` validates on a virtual 8-device mesh.
+Exercised for real by ``tests/test_multihost.py``: a 2-process JAX cluster
+(gloo CPU collectives, 4 virtual devices per process) initializes through
+``initialize()``, runs a cross-process collective, and encodes a file-sharded
+corpus byte-identically to the single-process pipeline. The same
+`Mesh`/`NamedSharding` layout is validated single-process on a virtual
+8-device mesh by `tests/test_parallel.py`.
 """
 
 from __future__ import annotations
