@@ -62,7 +62,7 @@ def main() -> None:
 
     # the codec's distributed shape: this host's file shard, local mesh
     from sea_codec_tpu import EncoderSettings
-    from sea_codec_tpu.batch import encode_corpus
+    from sea_codec_tpu.batch import decode_corpus, encode_corpus
     from sea_codec_tpu.utils.signal import varied_signal
 
     n_files, channels = 6, 2
@@ -78,8 +78,26 @@ def main() -> None:
     )
     for i, blob in zip(mine, encoded):
         (outdir / f"file_{i}.sea").write_bytes(blob)
+
+    # decode leg: this host's shard back to PCM over the same local mesh
+    decoded = decode_corpus(encoded, mesh=local_mesh)
+    for i, d in zip(mine, decoded):
+        np.save(outdir / f"file_{i}.pcm.npy", np.asarray(d.samples))
+
+    # VBR leg: byte-identity is asserted by the parent against the
+    # single-process VBR encoder
+    stv = EncoderSettings(
+        frames_per_chunk=100, scale_factor_frames=10,
+        residual_bits=2.5, vbr=True,
+    )
+    encoded_v = encode_corpus(
+        [files[i] for i in mine], 44100, channels, stv, mesh=local_mesh
+    )
+    for i, blob in zip(mine, encoded_v):
+        (outdir / f"file_{i}.vbr.sea").write_bytes(blob)
+
     (outdir / f"done_{pid}").write_text("ok")
-    print(f"worker {pid}: encoded files {list(mine)}", flush=True)
+    print(f"worker {pid}: encoded+decoded files {list(mine)}", flush=True)
 
 
 if __name__ == "__main__":

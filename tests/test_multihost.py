@@ -73,9 +73,25 @@ def test_two_process_cluster_corpus_encode_byte_identity(tmp_path):
     st = EncoderSettings(frames_per_chunk=100, scale_factor_frames=10)
     want = encode_corpus(files, 44100, channels, st)
 
+    from sea_codec_tpu import sea_decode
+
     for i in range(n_files):
         got = (tmp_path / f"file_{i}.sea").read_bytes()
         assert got == want[i], f"file {i}: multi-host bytes diverge"
+        pcm = np.load(tmp_path / f"file_{i}.pcm.npy")
+        np.testing.assert_array_equal(
+            pcm, np.asarray(sea_decode(want[i]).samples),
+            err_msg=f"file {i}: multi-host decode PCM diverges",
+        )
+
+    stv = EncoderSettings(
+        frames_per_chunk=100, scale_factor_frames=10,
+        residual_bits=2.5, vbr=True,
+    )
+    want_v = encode_corpus(files, 44100, channels, stv)
+    for i in range(n_files):
+        got = (tmp_path / f"file_{i}.vbr.sea").read_bytes()
+        assert got == want_v[i], f"file {i}: multi-host VBR bytes diverge"
 
 
 def test_shard_files_across_hosts_partition():
