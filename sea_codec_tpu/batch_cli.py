@@ -10,6 +10,7 @@ chunk-parallel batch decoder. Per-file failures are reported and skipped.
 
 from __future__ import annotations
 
+import argparse
 import glob
 import os
 import sys
@@ -35,6 +36,15 @@ def main(argv: list[str] | None = None) -> int:
         help="multi-host run: initialize jax.distributed from the cluster "
         "environment, shard files across hosts, mesh over local devices",
     )
+    parser.add_argument(
+        "--coordinator",
+        default=None,
+        metavar="HOST:PORT",
+        help="with --distributed: explicit coordinator address for clusters "
+        "jax cannot auto-detect (requires --num-processes and --process-id)",
+    )
+    parser.add_argument("--num-processes", type=int, default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--process-id", type=int, default=None, help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
     settings = get_encoder_settings(args)
 
@@ -50,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.distributed:
             from .parallel.distributed import initialize, shard_files_across_hosts
 
-            initialize()
+            initialize(args.coordinator, args.num_processes, args.process_id)
             mine = shard_files_across_hosts(len(paths))
             paths = [paths[i] for i in mine]
             devices = jax.local_devices()

@@ -36,6 +36,10 @@ def initialize(coordinator_address: str | None = None, num_processes: int | None
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
+        if coordinator_address is not None:
+            # an explicit coordinator was requested: silently falling back
+            # to single-process would re-encode other hosts' file shards
+            raise
         # already initialized or single-process context
         pass
 

@@ -112,3 +112,56 @@ def test_shard_files_across_hosts_partition():
         assert sorted(seen) == list(range(10)), (procs, seen)
     # and the live helper agrees with process_count()==1
     assert list(d.shard_files_across_hosts(5)) == [0, 1, 2, 3, 4]
+
+
+def test_batch_cli_distributed_two_processes(tmp_path):
+    """End-to-end: two `batch_cli --distributed --coordinator ...` processes
+    (the explicit-coordinator flags for clusters jax cannot auto-detect)
+    split a wav corpus and together produce exactly the bytes a
+    single-process encode produces."""
+    import os
+
+    from sea_codec_tpu import EncoderSettings
+    from sea_codec_tpu.batch import encode_corpus
+    from sea_codec_tpu.utils.signal import varied_signal
+    from sea_codec_tpu.utils.wav import write_wav
+
+    n_files, channels, rate = 4, 2, 44100
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    sigs = [varied_signal(channels, 220 + 13 * i, seed=300 + i) for i in range(n_files)]
+    for i, s in enumerate(sigs):
+        write_wav(s, channels, rate, str(indir / f"f{i}.wav"))
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""  # drop the sitecustomize that force-selects the TPU
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    workers = []
+    for pid in range(2):
+        workers.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "sea_codec_tpu.batch_cli",
+                    str(indir / "*.wav"), str(outdir),
+                    "-c", "200", "-d", "10",
+                    "--distributed",
+                    "--coordinator", f"localhost:{port}",
+                    "--num-processes", "2",
+                    "--process-id", str(pid),
+                ],
+                cwd=str(REPO), env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = [w.communicate(timeout=540)[0] for w in workers]
+    if any(w.returncode for w in workers):
+        pytest.fail("\n".join(o.decode(errors="replace")[-4000:] for o in outs))
+
+    st = EncoderSettings(frames_per_chunk=200, scale_factor_frames=10)
+    want = encode_corpus(sigs, rate, channels, st)
+    for i in range(n_files):
+        got = (outdir / f"f{i}.sea").read_bytes()
+        assert got == want[i], f"f{i}.sea: distributed CLI bytes diverge"
