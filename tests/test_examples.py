@@ -21,6 +21,7 @@ ARGS = {
     "streaming.py": ["--frames", "12000", "--fpc", "1000"],
     "seek.py": ["--frames", "30000", "--start", "12345", "--count", "500"],
     "corpus.py": ["--files", "3", "--frames", "3000", "--fpc", "1000"],
+    "distributed.py": ["--files", "4", "--frames", "300", "--fpc", "200"],
     "metadata.py": [],
 }
 
