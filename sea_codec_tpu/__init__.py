@@ -33,6 +33,7 @@ from .api import SeaDecodeInfo, sea_decode, sea_encode  # noqa: E402
 from .encoder import EncoderSettings, SeaEncoder  # noqa: E402
 from .decoder import SeaDecoder  # noqa: E402
 from .utils.errors import SeaError  # noqa: E402
+from .utils.metadata import format_metadata, lookup_metadata, parse_metadata  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -44,5 +45,8 @@ __all__ = [
     "SeaDecoder",
     "EncoderSettings",
     "SeaError",
+    "format_metadata",
+    "parse_metadata",
+    "lookup_metadata",
     "__version__",
 ]

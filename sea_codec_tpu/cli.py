@@ -79,11 +79,19 @@ def get_encoder_settings(args) -> "EncoderSettings":
         if residual_bits != int(residual_bits) or not (1 <= int(residual_bits) <= 8):
             _die("Without VBR, bitrate must be an integer between 1 and 8")
 
-    metadata = ""
+    from .utils.errors import SeaError
+    from .utils.metadata import format_metadata
+
+    pairs: dict[str, str] = {}
     for pair in args.metadata:
-        if "=" not in pair:
+        key, sep, value = pair.partition("=")
+        if not sep:
             _die(f"Invalid metadata pair (expected key=value): {pair}")
-        metadata += pair + "\n"
+        pairs[key] = value
+    try:
+        metadata = format_metadata(pairs)
+    except SeaError as e:
+        _die(str(e))
 
     return EncoderSettings(
         scale_factor_bits=scale_factor_bits,
@@ -181,7 +189,14 @@ def main(argv: list[str] | None = None) -> int:
                 f"({n / max(elapsed, 1e-9) / 1e6:.1f} Msamples/s)"
             )
             if header.metadata:
-                print(f"metadata: {header.metadata!r}")
+                from .utils.metadata import parse_metadata
+
+                pairs = parse_metadata(header.metadata)
+                if pairs:
+                    for k, v in pairs.items():
+                        print(f"metadata: {k}={v}")
+                else:  # unstructured writer: show the raw bytes
+                    print(f"metadata: {header.metadata!r}")
     else:
         _die(
             "Invalid file extensions. Supported conversions are .wav to .sea and .sea to .wav"

@@ -139,3 +139,63 @@ def test_many_file_corpus_decode():
     assert len(results) == 200
     for r in (results[0], results[99], results[199]):
         np.testing.assert_array_equal(np.asarray(r.samples), expected)
+
+
+class TestMetadataHelpers:
+    """Spec key=value conventions (reference README.md:73-77): newline-
+    separated pairs, case-insensitive keys with no '=' or newline, values
+    case-sensitive with any char but newline."""
+
+    def test_format_and_parse_roundtrip(self):
+        from sea_codec_tpu import format_metadata, parse_metadata
+
+        pairs = {"artist": "Ana=log", "Title": "x  y", "year": "2026"}
+        text = format_metadata(pairs)
+        assert text == "artist=Ana=log\nTitle=x  y\nyear=2026\n"
+        assert parse_metadata(text) == pairs
+
+    def test_empty_dict_formats_empty(self):
+        from sea_codec_tpu import format_metadata, parse_metadata
+
+        assert format_metadata({}) == ""
+        assert parse_metadata("") == {}
+
+    def test_invalid_keys_rejected(self):
+        from sea_codec_tpu import SeaError, format_metadata
+
+        for bad in ({"": "v"}, {"a=b": "v"}, {"a\nb": "v"}):
+            with pytest.raises(SeaError):
+                format_metadata(bad)
+        with pytest.raises(SeaError):
+            format_metadata({"k": "line1\nline2"})
+
+    def test_duplicate_keys_case_insensitive(self):
+        from sea_codec_tpu import SeaError, format_metadata, parse_metadata
+
+        with pytest.raises(SeaError):
+            format_metadata({"Artist": "a", "artist": "b"})
+        # lenient parse keeps the first spelling, strict raises
+        assert parse_metadata("Artist=a\nartist=b\n") == {"Artist": "a"}
+        with pytest.raises(SeaError):
+            parse_metadata("Artist=a\nartist=b\n", strict=True)
+
+    def test_lenient_parse_skips_malformed(self):
+        from sea_codec_tpu import SeaError, parse_metadata
+
+        assert parse_metadata("noequals\nk=v\n=orphan\n") == {"k": "v"}
+        with pytest.raises(SeaError):
+            parse_metadata("noequals\n", strict=True)
+
+    def test_helpers_roundtrip_through_codec(self):
+        from sea_codec_tpu import format_metadata, lookup_metadata, parse_metadata
+
+        samples = gen_test_signal(1, 6000)
+        settings = EncoderSettings(
+            metadata=format_metadata({"Artist": "me", "title": "t=v"})
+        )
+        encoded = sea_encode(samples, TEST_SAMPLE_RATE, 1, settings)
+        header = SeaFileHeader.from_reader(io.BytesIO(encoded))
+        pairs = parse_metadata(header.metadata)
+        assert pairs == {"Artist": "me", "title": "t=v"}
+        assert lookup_metadata(pairs, "artist") == "me"  # case-insensitive
+        assert lookup_metadata(pairs, "missing") is None

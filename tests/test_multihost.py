@@ -134,31 +134,45 @@ def test_batch_cli_distributed_two_processes(tmp_path):
     for i, s in enumerate(sigs):
         write_wav(s, channels, rate, str(indir / f"f{i}.wav"))
 
-    port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = ""  # drop the sitecustomize that force-selects the TPU
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    workers = []
-    for pid in range(2):
-        workers.append(
-            subprocess.Popen(
-                [
-                    sys.executable, "-m", "sea_codec_tpu.batch_cli",
-                    str(indir / "*.wav"), str(outdir),
-                    "-c", "200", "-d", "10",
-                    "--distributed",
-                    "--coordinator", f"localhost:{port}",
-                    "--num-processes", "2",
-                    "--process-id", str(pid),
-                ],
-                cwd=str(REPO), env=env,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+
+    def run_cluster():
+        port = _free_port()
+        workers = []
+        for pid in range(2):
+            workers.append(
+                subprocess.Popen(
+                    [
+                        sys.executable, "-m", "sea_codec_tpu.batch_cli",
+                        str(indir / "*.wav"), str(outdir),
+                        "-c", "200", "-d", "10",
+                        "--distributed",
+                        "--coordinator", f"localhost:{port}",
+                        "--num-processes", "2",
+                        "--process-id", str(pid),
+                    ],
+                    cwd=str(REPO), env=env,
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                )
             )
-        )
-    outs = [w.communicate(timeout=540)[0] for w in workers]
+        outs = [w.communicate(timeout=540)[0] for w in workers]
+        return workers, "\n".join(o.decode(errors="replace")[-4000:] for o in outs)
+
+    workers, text = run_cluster()
     if any(w.returncode for w in workers):
-        pytest.fail("\n".join(o.decode(errors="replace")[-4000:] for o in outs))
+        # The coordinator handshake can time out on a heavily loaded box
+        # (observed once with the full suite + a TPU bench sharing the
+        # machine). Retry ONLY that infra class, on a fresh port; anything
+        # else -- including byte divergence below -- still fails hard.
+        infra = ("DEADLINE_EXCEEDED", "barrier", "UNAVAILABLE", "bind")
+        if not any(m in text for m in infra):
+            pytest.fail(text)
+        workers, text = run_cluster()
+        if any(w.returncode for w in workers):
+            pytest.fail(text)
 
     st = EncoderSettings(frames_per_chunk=200, scale_factor_frames=10)
     want = encode_corpus(sigs, rate, channels, st)
