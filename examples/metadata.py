@@ -38,15 +38,15 @@ def main() -> int:
     channels, sample_rate = 2, 44100
     samples = gen_test_signal(channels, 8000)
 
-    meta = "title=Example\nartist=sea-codec-tpu\n"
+    # the structured helpers enforce the spec's key rules (README.md:73-77)
+    meta = sea.format_metadata({"title": "Example", "artist": "sea-codec-tpu"})
     settings = sea.EncoderSettings(metadata=meta)
     encoded = sea.sea_encode(samples, sample_rate, channels, settings)
 
     header = SeaFileHeader.from_reader(io.BytesIO(encoded))
     assert header.metadata == meta
-    pairs = dict(
-        line.split("=", 1) for line in header.metadata.splitlines() if "=" in line
-    )
+    pairs = sea.parse_metadata(header.metadata)
+    assert sea.lookup_metadata(pairs, "ARTIST") == "sea-codec-tpu"  # keys fold
     print(f"header metadata ({len(meta)} bytes): {pairs}")
 
     decoded = sea.sea_decode(encoded)
