@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from .container import SeaChunk, SeaFileHeader
 from .models import DecoderModel
+from .utils.errors import SeaError
 from .utils.io import read_max_or_zero
 
 
@@ -19,6 +20,36 @@ class SeaDecoder:
         self.header = SeaFileHeader.from_reader(reader)
         self.frames_read = 0
         self._model: DecoderModel | None = None
+        try:  # chunk region start, for seek(); None on non-seekable readers
+            self._chunks_start: int | None = reader.tell()
+        except (AttributeError, OSError):
+            self._chunks_start = None
+
+    def seek(self, frame: int) -> int:
+        """Constant-time seek to the chunk containing ``frame``.
+
+        The format fixes every chunk's byte size precisely to enable this
+        (reference ``README.md:88``; upstream lists session seeking under
+        "Future plans", ``README.md:125`` — here it is). Positions the
+        reader at ``chunks_start + (frame // frames_per_chunk) * chunk_size``
+        and returns the chunk-aligned frame index now current; the next
+        ``decode_frame()`` emits samples from that frame (callers wanting
+        sub-chunk granularity discard ``frame - returned`` leading frames,
+        or use ``batch.decode_range`` for a one-shot exact range). Chunks
+        carry their own LMS entry state, so decode resumes bit-exactly.
+        """
+        if self._chunks_start is None:
+            raise SeaError("seek requires a seekable reader")
+        if frame < 0 or (
+            0 < self.header.total_frames < frame
+        ):
+            raise SeaError(
+                f"seek target {frame} outside 0..{self.header.total_frames}"
+            )
+        chunk_idx = frame // self.header.frames_per_chunk
+        self.reader.seek(self._chunks_start + chunk_idx * self.header.chunk_size)
+        self.frames_read = chunk_idx * self.header.frames_per_chunk
+        return self.frames_read
 
     def decode_frame(self) -> bool:
         """Decode one chunk; returns False when the stream is exhausted."""

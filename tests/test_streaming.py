@@ -87,3 +87,46 @@ def test_explicit_streaming_mode_writes_header_upfront():
     data = pipe.read(10**9)
     assert data[0:4] == b"seac"
     assert int.from_bytes(data[6:8], "little") == 0  # chunk_size unknown
+
+
+@pytest.mark.parametrize("vbr", [False, True])
+def test_session_seek_bit_exact(vbr):
+    """SeaDecoder.seek jumps to any chunk in O(1) and resumes bit-exactly
+    (the format's fixed-chunk-size design goal, reference README.md:88;
+    upstream only *plans* session seeking, README.md:125)."""
+    channels = 2
+    settings = EncoderSettings(
+        frames_per_chunk=500, residual_bits=2.5 if vbr else 3.0, vbr=vbr
+    )
+    samples = gen_test_signal(channels, 7003 * channels)
+    frames = samples.shape[0] // channels
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, channels, settings)
+    full = np.asarray(sea_decode(encoded).samples)
+
+    for target in (0, 500, 1234, 6999, frames):  # aligned, mid-chunk, tail, EOF
+        out = io.BytesIO()
+        dec = SeaDecoder(io.BytesIO(encoded), out)
+        pos = dec.seek(target)
+        assert pos == (target // 500) * 500
+        while dec.decode_frame():
+            pass
+        got = np.frombuffer(out.getvalue(), dtype="<i2")
+        np.testing.assert_array_equal(got, full[pos * channels :])
+
+
+def test_session_seek_rejects_bad_targets():
+    from sea_codec_tpu import SeaError
+
+    samples = gen_test_signal(1, 3000)
+    encoded = sea_encode(samples, TEST_SAMPLE_RATE, 1, EncoderSettings(frames_per_chunk=1000))
+    dec = SeaDecoder(io.BytesIO(encoded), io.BytesIO())
+    with pytest.raises(SeaError):
+        dec.seek(-1)
+    with pytest.raises(SeaError):
+        dec.seek(samples.shape[0] + 1)
+    # non-seekable pipe readers refuse loudly instead of corrupting state
+    pipe = SharedBuffer()
+    pipe.write(encoded)
+    dec2 = SeaDecoder(pipe, io.BytesIO())
+    with pytest.raises(SeaError):
+        dec2.seek(0)
