@@ -83,10 +83,17 @@ def get_encoder_settings(args) -> "EncoderSettings":
     from .utils.metadata import format_metadata
 
     pairs: dict[str, str] = {}
+    folded: set[str] = set()
     for pair in args.metadata:
         key, sep, value = pair.partition("=")
         if not sep:
             _die(f"Invalid metadata pair (expected key=value): {pair}")
+        # Exact duplicates would silently collapse via dict assignment while
+        # case-differing ones die inside format_metadata -- report both the
+        # same way, here, where the offending flag is still identifiable.
+        if key.casefold() in folded:
+            _die(f"Duplicate metadata key: {key} (keys compare case-insensitively)")
+        folded.add(key.casefold())
         pairs[key] = value
     try:
         metadata = format_metadata(pairs)
@@ -192,11 +199,15 @@ def main(argv: list[str] | None = None) -> int:
                 from .utils.metadata import parse_metadata
 
                 pairs = parse_metadata(header.metadata)
+                n_lines = sum(1 for ln in header.metadata.split("\n") if ln)
                 if pairs:
                     for k, v in pairs.items():
                         print(f"metadata: {k}={v}")
-                else:  # unstructured writer: show the raw bytes
-                    print(f"metadata: {header.metadata!r}")
+                if len(pairs) < n_lines:
+                    # lenient parse dropped malformed/duplicate lines (or the
+                    # writer was unstructured): show the raw bytes too so
+                    # nothing is silently hidden
+                    print(f"metadata (raw): {header.metadata!r}")
     else:
         _die(
             "Invalid file extensions. Supported conversions are .wav to .sea and .sea to .wav"

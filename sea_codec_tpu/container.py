@@ -25,7 +25,12 @@ import numpy as np
 
 from .ops import bitpack
 from .ops.tables import LMS_LEN
-from .utils.errors import SeaInvalidFile, SeaInvalidFrame, SeaUnsupportedVersion
+from .utils.errors import (
+    SeaInvalidFile,
+    SeaInvalidFrame,
+    SeaInvalidParameters,
+    SeaUnsupportedVersion,
+)
 
 SEAC_MAGIC = b"seac"  # stored big-endian on disk (reference common.rs:3)
 
@@ -149,7 +154,11 @@ class SeaChunk:
 
     def serialize(self) -> bytes:
         # header (reference chunk.rs:215-226)
-        assert self.scale_factor_bits > 0 and self.scale_factor_frames > 0
+        if self.scale_factor_bits <= 0 or self.scale_factor_frames <= 0:
+            raise SeaInvalidParameters(
+                f"chunk needs scale_factor_bits/frames > 0, got "
+                f"{self.scale_factor_bits}/{self.scale_factor_frames}"
+            )
         out = bytearray()
         out += bytes(
             [
@@ -169,7 +178,11 @@ class SeaChunk:
         if self.chunk_type == CHUNK_TYPE_VBR:
             # 2-bit deltas, stored as size - base + 1 (reference chunk.rs:245-252)
             rel = self.vbr_residual_sizes.astype(np.int32) - self.residual_size + 1
-            assert np.all((rel >= 0) & (rel < 4))
+            if not np.all((rel >= 0) & (rel < 4)):
+                raise SeaInvalidParameters(
+                    "VBR residual sizes must lie within base-1..base+2 "
+                    "(the 2-bit delta encoding, reference chunk.rs:245-252)"
+                )
             out += bitpack.pack_bits(rel.astype(np.uint32), 2).tobytes()
             # residuals with per-window-per-channel widths (reference chunk.rs:254-271)
             widths = self._per_sample_widths()

@@ -47,7 +47,13 @@ class SeaDecoder:
                 f"seek target {frame} outside 0..{self.header.total_frames}"
             )
         chunk_idx = frame // self.header.frames_per_chunk
-        self.reader.seek(self._chunks_start + chunk_idx * self.header.chunk_size)
+        try:
+            self.reader.seek(self._chunks_start + chunk_idx * self.header.chunk_size)
+        except (AttributeError, OSError, ValueError) as e:
+            # tell() succeeding in the constructor does not guarantee seek()
+            # works (e.g. a forward-only stream); keep the documented error
+            # surface instead of leaking the reader's raw exception
+            raise SeaError("seek requires a seekable reader") from e
         self.frames_read = chunk_idx * self.header.frames_per_chunk
         return self.frames_read
 

@@ -16,7 +16,12 @@ import numpy as np
 
 from .container import CHUNK_TYPE_CBR, CHUNK_TYPE_VBR, SeaChunk, SeaFileHeader
 from .models import CbrEncoderModel, VbrEncoderModel
-from .utils.errors import SeaEncoderClosed, SeaInvalidParameters, SeaReadError
+from .utils.errors import (
+    SeaEncoderClosed,
+    SeaError,
+    SeaInvalidParameters,
+    SeaReadError,
+)
 from .utils.io import read_max_or_zero
 
 
@@ -172,8 +177,13 @@ class SeaEncoder:
             )
         if self.header.chunk_size == 0:
             self.header.chunk_size = len(out)
-        if frames == self.header.frames_per_chunk:
-            assert len(out) == self.header.chunk_size
+        if frames == self.header.frames_per_chunk and len(out) != self.header.chunk_size:
+            # The reference surfaces this as a Result error, not a panic
+            # (encoder.rs:128-132); a bare assert would vanish under -O.
+            raise SeaError(
+                f"full chunk serialized to {len(out)} bytes, expected "
+                f"{self.header.chunk_size} (inconsistent encoder state)"
+            )
         return out
 
     def encode_frame(self) -> bool:
@@ -196,10 +206,18 @@ class SeaEncoder:
 
         if samples.size:
             encoded_chunk = self._make_chunk(samples)
-            if eof:
-                assert len(encoded_chunk) <= self.header.chunk_size
-            else:
-                assert len(encoded_chunk) == self.header.chunk_size
+            ok = (
+                len(encoded_chunk) <= self.header.chunk_size
+                if eof
+                else len(encoded_chunk) == self.header.chunk_size
+            )
+            if not ok:
+                raise SeaError(
+                    f"chunk serialized to {len(encoded_chunk)} bytes, "
+                    f"expected {'<=' if eof else '=='} "
+                    f"{self.header.chunk_size} (encoder.rs:128-132 surfaces "
+                    "this as an error, never silent corruption)"
+                )
             if self.state is _State.START:
                 self.writer.write(self.header.serialize())
                 self.state = _State.WRITING_FRAMES

@@ -82,7 +82,8 @@ def varied_signal(channels: int, frames: int, seed: int) -> np.ndarray:
 
 def audio_quality(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
     """(rms, psnr) between two int16 signals (helpers.rs:101-116)."""
-    assert a.shape == b.shape
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
     af = a.astype(np.float64) / 32767.0
     bf = b.astype(np.float64) / 32767.0
     rms = float(np.sqrt(np.mean((af - bf) ** 2)))

@@ -101,6 +101,35 @@ def test_cli_metadata(wav_file, tmp_path):
     assert header.metadata == "artist=x\ntitle=y\n"
 
 
+def test_cli_metadata_duplicate(wav_file, tmp_path):
+    """Exact and case-differing duplicate -m flags die the same way (the
+    exact form used to silently collapse via dict assignment)."""
+    wav_in, _ = wav_file
+    sea = str(tmp_path / "d.sea")
+    for flags in (["--metadata", "a=1", "--metadata", "a=2"], ["--metadata", "A=1", "--metadata", "a=2"]):
+        r = run_cli(wav_in, sea, *flags)
+        assert r.returncode == 1
+        assert "Duplicate metadata key" in r.stderr
+
+
+def test_cli_stats_shows_raw_metadata_when_lenient_parse_drops_lines(tmp_path):
+    """--stats on mixed structured/unstructured metadata prints the parsed
+    pairs AND the raw bytes, so malformed lines are never silently hidden."""
+    from sea_codec_tpu import EncoderSettings, sea_encode
+
+    samples = gen_test_signal(1, 2000)
+    enc = sea_encode(
+        samples, TEST_SAMPLE_RATE, 1,
+        EncoderSettings(frames_per_chunk=1000, metadata="good=1\nmalformed line\n"),
+    )
+    sea = tmp_path / "raw.sea"
+    sea.write_bytes(enc)
+    r = run_cli(str(sea), str(tmp_path / "raw.wav"), "--stats")
+    assert r.returncode == 0, r.stderr
+    assert "metadata: good=1" in r.stdout
+    assert "metadata (raw):" in r.stdout
+
+
 def test_cli_native_backend(wav_file, tmp_path):
     wav_in, samples = wav_file
     sea = str(tmp_path / "n.sea")

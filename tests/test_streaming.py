@@ -130,3 +130,13 @@ def test_session_seek_rejects_bad_targets():
     dec2 = SeaDecoder(pipe, io.BytesIO())
     with pytest.raises(SeaError):
         dec2.seek(0)
+
+    # a reader whose tell() works but whose seek() raises still surfaces the
+    # documented SeaError, not the reader's raw exception
+    class TellOnly(io.BytesIO):
+        def seek(self, *a, **k):
+            raise OSError("backward seek unsupported")
+
+    dec3 = SeaDecoder(TellOnly(encoded), io.BytesIO())
+    with pytest.raises(SeaError, match="seekable"):
+        dec3.seek(0)
