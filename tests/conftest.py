@@ -24,4 +24,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 
+# Persistent compilation cache for the suite: hundreds of tiny XLA programs
+# dominate wall-clock on a cold run; caching them across runs (and xdist
+# workers -- the cache is concurrent-safe) cuts repeat runs substantially.
+# Separate directory from the shipped TPU .jax_cache so bench's
+# cache_new_entries accounting never sees CPU test entries. SEA_TEST_CACHE=0
+# disables.
+_cache = os.environ.get("SEA_TEST_CACHE", "1")
+if _cache != "0":
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_test_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
