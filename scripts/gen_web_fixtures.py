@@ -76,6 +76,25 @@ def main() -> None:
             "decode_only": True,
         }
 
+    # seeded subset of the VBR anchored-stream fuzz (tests/test_fixtures.py::
+    # test_vbr_anchored_fuzz): two seeds per shape-pool entry, so the JS
+    # decoder is held to the same randomized stream space as the JAX, batch,
+    # and C++ decoders
+    for seed in range(2 * len(tf.FUZZ_POOL)):
+        enc, _meta, _hdr = tf.fuzz_stream(seed)
+        c = tf.FUZZ_POOL[seed % len(tf.FUZZ_POOL)][0]
+        pcm = np.asarray(decode_sea(enc).samples).astype("<i2")
+        if available():
+            nat, _r, _c = native_decode(enc)
+            np.testing.assert_array_equal(pcm, nat)
+        entries[f"fuzz{seed:03d}_c{c}"] = {
+            "encoded": b64(bytes(enc)),
+            "decoded": b64(pcm.tobytes()),
+            "rate": 44100,
+            "channels": c,
+            "decode_only": True,
+        }
+
     out = os.path.join("web", "test_fixtures.json")
     with open(out, "w") as f:
         json.dump(entries, f)

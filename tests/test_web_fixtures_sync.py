@@ -37,6 +37,9 @@ def test_web_fixture_key_set_matches_generator_inputs():
     for i, cfg in enumerate(tf.ANCHOR_MATRIX):
         rs, _deltas, c, _sff, _fpc, sfb, _n, _tail = cfg
         want.add(f"anchor{i:02d}_rs{rs}_c{c}_sfb{sfb}")
+    for seed in range(2 * len(tf.FUZZ_POOL)):
+        c = tf.FUZZ_POOL[seed % len(tf.FUZZ_POOL)][0]
+        want.add(f"fuzz{seed:03d}_c{c}")
     assert set(entries) == want, (
         "web/test_fixtures.json is stale -- rerun scripts/gen_web_fixtures.py"
     )
@@ -65,3 +68,16 @@ def test_web_fixture_anchor_streams_match_matrix():
         )
         assert entries[name]["decode_only"] is True
         assert entries[name]["channels"] == c
+
+
+def test_web_fixture_fuzz_streams_match_generator():
+    entries = _load()
+    for seed in range(2 * len(tf.FUZZ_POOL)):
+        c = tf.FUZZ_POOL[seed % len(tf.FUZZ_POOL)][0]
+        name = f"fuzz{seed:03d}_c{c}"
+        enc, _meta, _hdr = tf.fuzz_stream(seed)
+        got = base64.b64decode(entries[name]["encoded"])
+        assert got == bytes(enc), (
+            f"{name}: fuzz stream drifted -- rerun scripts/gen_web_fixtures.py"
+        )
+        assert entries[name]["decode_only"] is True
