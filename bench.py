@@ -120,6 +120,23 @@ def emit() -> None:
         "transcode_device_Msps": rnd(R.get("transcode_msps")),
         "corpus1000_encode_Msps": rnd(R.get("enc1k_msps")),
         "corpus1000_decode_Msps": rnd(R.get("dec1k_msps")),
+        # corpus1000 now runs through the REAL batch CLI over REAL wav files
+        # on disk (BASELINE config 5 is a wav corpus), with the pipeline
+        # wall-clock attributed: host CPU vs transfers vs the same data's
+        # measured device-resident rate. Components overlap across the
+        # pipeline's threads, so host+transfer need not sum to the wall;
+        # device_s uses the sustained device rate measured earlier this run
+        # on the same program geometry.
+        "corpus1000_cli_encode_s": rnd(R.get("c1k_enc_cli_s"), 1),
+        "corpus1000_cli_decode_s": rnd(R.get("c1k_dec_cli_s"), 1),
+        "corpus1000_encode_host_s": rnd(R.get("c1k_enc_host_s")),
+        "corpus1000_encode_transfer_s": rnd(R.get("c1k_enc_transfer_s")),
+        "corpus1000_encode_device_s": rnd(R.get("c1k_enc_device_s")),
+        "corpus1000_decode_host_s": rnd(R.get("c1k_dec_host_s")),
+        "corpus1000_decode_transfer_s": rnd(R.get("c1k_dec_transfer_s")),
+        "corpus1000_decode_device_s": rnd(R.get("c1k_dec_device_s")),
+        "corpus1000_decode_tails_s": rnd(R.get("c1k_dec_tails_s")),
+        "corpus1000_wav_io_s": rnd(R.get("c1k_wav_io_s")),
         "mono_roundtrip_ms": rnd(R.get("t_mono_ms"), 1),
         # stereo CBR bitrate sweep 1..8: compression ratios (BASELINE
         # acceptance config 2; reference publishes ~13.3x .. ~2.0x), with
@@ -355,12 +372,34 @@ def _worker_body() -> None:
         ]
 
     prep: dict = {}
+    # 16 DISTINCT files for the device-resident encode/VBR/transcode stages
+    # (r3 verdict: the encode headlines must be measured on diverse content,
+    # like the decode headline -- not one file tiled to every slot)
+    enc16_chunks = 2 if SMOKE else 16
+
+    def make_enc16():
+        return [
+            varied_signal(channels, enc16_chunks * fpc, seed=90000 + i)
+            for i in range(16)
+        ]
 
     def _prep_body():
         try:
+            prep["enc16"] = make_enc16()
             prep["corpus256"] = make_corpus(8 if SMOKE else 256, seed0=0)
             prep["vbr_files"] = make_corpus(4 if SMOKE else 64, seed0=50000)
             prep["corpus1k_extra"] = make_corpus(8 if SMOKE else 744, seed0=10000)
+            # the corpus1000 stage runs the REAL batch CLI over REAL WAV
+            # files on disk (BASELINE config 5 is a WAV corpus); write them
+            # here so the disk I/O overlaps the init absorber
+            import tempfile
+            from sea_codec_tpu.utils.wav import write_wav
+
+            wavdir = tempfile.mkdtemp(prefix="sea_bench_wav_")
+            for i, f in enumerate(prep["corpus256"] + prep["corpus1k_extra"]):
+                write_wav(f, channels, TEST_SAMPLE_RATE,
+                          os.path.join(wavdir, f"f{i:04d}.wav"))
+            prep["wavdir"] = wavdir
         except Exception as e:  # noqa: BLE001 -- stages regenerate on demand
             log(f"[prep] thread failed: {type(e).__name__}: {e}")
 
@@ -475,6 +514,8 @@ def _worker_body() -> None:
     log(f"  [prep join {time.perf_counter() - t0:.1f}s -- corpus generation "
         f"overlapped the init absorber]")
     # regenerate inline if the prep thread died (stages stay independent)
+    if "enc16" not in prep:
+        prep["enc16"] = make_enc16()
     if "corpus256" not in prep:
         prep["corpus256"] = make_corpus(8 if SMOKE else 256, seed0=0)
     if "vbr_files" not in prep:
@@ -511,14 +552,13 @@ def _worker_body() -> None:
         from sea_codec_tpu.ops import lms as lms_ops
         from sea_codec_tpu.ops.encode_file import encode_corpus_cbr_packed_blocks
 
-        nb, nfb, ncb = (1, 4, 2) if SMOKE else (32, 64, 16)  # 32 blocks =
-        # 335.5M samples per call (671 MB int16 staged): the relay's fixed
-        # ~25 ms dispatch (measured back-to-back vs single-sync,
-        # scripts/exp_dispatch_overhead.py) is <10% of the ~210 ms call, so
-        # this measures device rate -- at 4 blocks dispatch was ~half the
-        # measurement and understated the kernel ~2x
+        nb, nfb, ncb = (1, 4, 2) if SMOKE else (32, 64, enc16_chunks)  # 32
+        # blocks = 335.5M samples per call (671 MB int16 staged): the
+        # relay's fixed ~25 ms dispatch (measured back-to-back vs
+        # single-sync, scripts/exp_dispatch_overhead.py) is <10% of the
+        # ~210 ms call, so this measures device rate -- at 4 blocks dispatch
+        # was ~half the measurement and understated the kernel ~2x
         bb = nfb * channels
-        one_file = varied_signal(channels, ncb * fpc, seed=31337)
         frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
         tail_idx = np.full((nb, nfb), ncb, np.int32)
         h0 = np.broadcast_to(
@@ -526,8 +566,13 @@ def _worker_body() -> None:
         w0 = np.broadcast_to(
             np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
         p0 = np.zeros((nb, bb), np.int32)
-        xdev = device_tile(
-            one_file.reshape(ncb, fpc, channels)[None], (nb, 1, 1, nfb))
+        # 16 DISTINCT files side by side in the lane dim; the 64 file slots
+        # cycle through them (device tile repeats the 16-file group), so the
+        # measured content is diverse like the decode headline's
+        ng = min(16, nfb)
+        base16 = np.concatenate(
+            [f.reshape(ncb, fpc, channels) for f in prep["enc16"][:ng]], axis=2)
+        xdev = device_tile(base16[None], (nb, 1, 1, nfb // ng))
 
         def dev_encode():
             return encode_corpus_cbr_packed_blocks(
@@ -565,9 +610,8 @@ def _worker_body() -> None:
         from sea_codec_tpu.ops.encode_file import encode_corpus_cbr_packed_blocks
         from sea_codec_tpu.ops.parse_device import transcode_chunks_cbr_device
 
-        nb, nfb, ncb = (1, 4, 2) if SMOKE else (16, 64, 16)  # 167.8M samples
+        nb, nfb, ncb = (1, 4, 2) if SMOKE else (16, 64, enc16_chunks)  # 167.8M
         bb = nfb * channels
-        one_file = varied_signal(channels, ncb * fpc, seed=31339)
         frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
         tail_idx = np.full((nb, nfb), ncb, np.int32)
         h0 = np.broadcast_to(
@@ -575,8 +619,11 @@ def _worker_body() -> None:
         w0 = np.broadcast_to(
             np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
         p0 = np.zeros((nb, bb), np.int32)
-        xdev = device_tile(
-            one_file.reshape(ncb, fpc, channels)[None], (nb, 1, 1, nfb))
+        ng = min(16, nfb)  # 16 distinct files cycled across slots (see
+        # x_device_encode) -- the transcode content is diverse too
+        base16 = np.concatenate(
+            [f.reshape(ncb, fpc, channels) for f in prep["enc16"][:ng]], axis=2)
+        xdev = device_tile(base16[None], (nb, 1, 1, nfb // ng))
         sff, sfb = settings.scale_factor_frames, settings.scale_factor_bits
 
         @jax.jit
@@ -598,7 +645,7 @@ def _worker_body() -> None:
         # native codec's round trip of the same samples
         pcm0 = np.asarray(fn()[:ncb]).reshape(-1)
         want, _r, _c = native_decode(
-            native_encode(one_file, TEST_SAMPLE_RATE, channels,
+            native_encode(prep["enc16"][0], TEST_SAMPLE_RATE, channels,
                           frames_per_chunk=fpc))
         assert np.array_equal(pcm0, want), "device transcode != native round trip"
         n_tr = nb * nfb * ncb * fpc * channels
@@ -637,7 +684,7 @@ def _worker_body() -> None:
         from sea_codec_tpu.ops import lms as lms_ops
         from sea_codec_tpu.ops.encode_file import encode_corpus_vbr_nv_blocks
 
-        nb, nfb, ncb = (1, 4, 2) if SMOKE else (16, 64, 16)  # 167.8M
+        nb, nfb, ncb = (1, 4, 2) if SMOKE else (16, 64, enc16_chunks)  # 167.8M
         # samples per call: VBR's two passes run ~2x CBR's device time per
         # sample, so 16 blocks suffice to keep the ~25 ms dispatch <10%
         bb = nfb * channels
@@ -646,15 +693,16 @@ def _worker_body() -> None:
         base = vbr_base(target)
         sortable = (fpc * channels) // sff
         m1, _t, p1, p2 = interpolate_distribution(sortable, target)
-        one_file = varied_signal(channels, ncb * fpc, seed=31338)
         frames_lane = np.full((nb, bb), ncb * fpc, np.int32)
         h0 = np.broadcast_to(
             np.tile(lms_ops.initial_history(channels), (nfb, 1)), (nb, bb, 4))
         w0 = np.broadcast_to(
             np.tile(lms_ops.initial_weights(channels), (nfb, 1)), (nb, bb, 4))
         p0 = np.zeros((nb, bb), np.int32)
-        xdev = device_tile(
-            one_file.reshape(ncb, fpc, channels)[None], (nb, 1, 1, nfb))
+        ng = min(16, nfb)  # diverse content: 16 distinct files cycled
+        base16 = np.concatenate(
+            [f.reshape(ncb, fpc, channels) for f in prep["enc16"][:ng]], axis=2)
+        xdev = device_tile(base16[None], (nb, 1, 1, nfb // ng))
 
         def dev_encode_v():
             return encode_corpus_vbr_nv_blocks(
@@ -762,32 +810,106 @@ def _worker_body() -> None:
     R["t_8_ms"] = stage("8ch_roundtrip", 15, x_8ch, force=True)
 
     def x_corpus1k():
+        # The REAL pipeline on REAL files: WAV corpus on disk -> batch CLI
+        # encode -> .sea files -> batch CLI decode -> WAV files, bit-exact
+        # vs the native codec, with the wall-clock ATTRIBUTED (r3 verdict
+        # item 1): host CPU (staging/parse/assembly), transfers
+        # (upload + device_get wall), and the same data's measured
+        # device-resident rate, so the gap between the e2e number and the
+        # device headline is explained by measurement, not prose.
+        # enc1k/dec1k keep their r03 definitions: the encode_corpus /
+        # decode_corpus pipeline wall on the same 1,000 arrays (now read
+        # from the wav files).
+        import glob as _glob
+        import shutil
+        import tempfile
+
+        from sea_codec_tpu import batch as batch_mod
+        from sea_codec_tpu import batch_cli
+        from sea_codec_tpu.utils.profiling import StageTimes
+        from sea_codec_tpu.utils.wav import read_wav, write_wav
+
         corpus1k = corpus256 + prep["corpus1k_extra"]
         n_1k = sum(f.shape[0] for f in corpus1k)
-        t0 = time.perf_counter()
-        enc1k = encode_corpus(corpus1k, TEST_SAMPLE_RATE, channels, settings)
-        t_enc1k = time.perf_counter() - t0
-        enc_msps_1k = n_1k / t_enc1k / 1e6
-        R["enc1k_msps"] = enc_msps_1k
-        log(f"corpus encode e2e (1000 varied stereo files, {n_1k / 1e6:.0f} "
-            f"Msamples): {t_enc1k:.2f}s = {enc_msps_1k:.1f} Msamples/s")
-        if left() < 75 + 40:
-            return True
-        t0 = time.perf_counter()
-        dec1k = decode_corpus(enc1k)
-        t_dec1k = time.perf_counter() - t0
-        dec_msps_1k = n_1k / t_dec1k / 1e6
-        assert all(
-            d is not None and d.samples.shape[0] == f.shape[0]
-            for d, f in zip(dec1k, corpus1k)
-        )
-        i = int(rng.integers(len(enc1k)))
-        want, _r, _c = native_decode(enc1k[i])
-        assert np.array_equal(np.asarray(dec1k[i].samples), want), \
-            "corpus decode != native decode"
-        R["dec1k_msps"] = dec_msps_1k
-        log(f"corpus decode e2e (1000 files, incl. full PCM fetch): "
-            f"{t_dec1k:.2f}s = {dec_msps_1k:.1f} Msamples/s")
+        wavdir = prep.get("wavdir")
+        if not wavdir or len(_glob.glob(os.path.join(wavdir, "*.wav"))) != len(corpus1k):
+            wavdir = tempfile.mkdtemp(prefix="sea_bench_wav_")
+            for i, f in enumerate(corpus1k):
+                write_wav(f, channels, TEST_SAMPLE_RATE,
+                          os.path.join(wavdir, f"f{i:04d}.wav"))
+            prep["wavdir"] = wavdir
+        seadir = tempfile.mkdtemp(prefix="sea_bench_sea_")
+        outdir = tempfile.mkdtemp(prefix="sea_bench_out_")
+        times = StageTimes()
+        batch_mod.PIPELINE_TIMES = times
+        try:
+            t0 = time.perf_counter()
+            rc = batch_cli.main([os.path.join(wavdir, "*.wav"), seadir, "-b", "3"])
+            t_enc_cli = time.perf_counter() - t0
+            assert rc == 0, f"batch_cli encode rc={rc}"
+            t_enc1k = times["encode_wall"]
+            R["enc1k_msps"] = n_1k / t_enc1k / 1e6
+            R["c1k_enc_cli_s"] = t_enc_cli
+            log(f"corpus encode e2e (1000 varied stereo files via CLI, "
+                f"{n_1k / 1e6:.0f} Msamples): pipeline {t_enc1k:.2f}s = "
+                f"{R['enc1k_msps']:.1f} Msamples/s (CLI wall {t_enc_cli:.2f}s "
+                f"incl. wav read)")
+            # bit-exactness vs the independent native encoder (sampled)
+            seas = _glob.glob(os.path.join(seadir, "*.sea"))
+            assert len(seas) == len(corpus1k), "encode leg lost files"
+            for i in map(int, rng.choice(len(corpus1k), 2, replace=False)):
+                got = open(os.path.join(seadir, f"f{i:04d}.sea"), "rb").read()
+                want = native_encode(corpus1k[i], TEST_SAMPLE_RATE, channels,
+                                     frames_per_chunk=fpc)
+                assert got == want, f"CLI .sea {i} differs from native encoder"
+
+            if left() > 60:
+                t0 = time.perf_counter()
+                rc = batch_cli.main([os.path.join(seadir, "*.sea"), outdir])
+                t_dec_cli = time.perf_counter() - t0
+                assert rc == 0, f"batch_cli decode rc={rc}"
+                t_dec1k = times["decode_wall"]
+                R["dec1k_msps"] = n_1k / t_dec1k / 1e6
+                R["c1k_dec_cli_s"] = t_dec_cli
+                log(f"corpus decode e2e (1000 files via CLI, incl. full PCM "
+                    f"fetch): pipeline {t_dec1k:.2f}s = {R['dec1k_msps']:.1f} "
+                    f"Msamples/s (CLI wall {t_dec_cli:.2f}s incl. wav write)")
+                wavs = _glob.glob(os.path.join(outdir, "*.wav"))
+                assert len(wavs) == len(corpus1k), "decode leg lost files"
+                for i in map(int, rng.choice(len(corpus1k), 2, replace=False)):
+                    got = read_wav(os.path.join(outdir, f"f{i:04d}.wav"))
+                    sea_bytes = open(os.path.join(seadir, f"f{i:04d}.sea"), "rb").read()
+                    want, _r, _c = native_decode(sea_bytes)
+                    assert np.array_equal(got.samples, want), \
+                        f"CLI .wav {i} != native decode"
+        finally:
+            batch_mod.PIPELINE_TIMES = None
+            shutil.rmtree(seadir, ignore_errors=True)
+            shutil.rmtree(outdir, ignore_errors=True)
+
+        # attribution fields (components overlap across pipeline threads,
+        # so host+transfer+device need not sum to the wall; each is the
+        # direct wall-clock of its section). device_s = this corpus's
+        # samples at the device-resident sustained rate measured EARLIER
+        # THIS RUN on the same program geometry (2ch CBR rs=3 fpc=5120).
+        R["c1k_enc_host_s"] = times["encode_stage"] + times["encode_assemble"]
+        R["c1k_enc_transfer_s"] = times["encode_put"] + times["encode_fetch"]
+        R["c1k_dec_host_s"] = (times["decode_parse"] + times["decode_stage"]
+                               + times["decode_assemble"])
+        R["c1k_dec_transfer_s"] = times["decode_put"] + times["decode_fetch"]
+        R["c1k_dec_tails_s"] = times["decode_tails"]
+        R["c1k_wav_io_s"] = (times["wav_read"] + times["wav_write"]
+                             + times["sea_read"] + times["sea_write"])
+        if R.get("enc_dev_sustained_msps"):
+            R["c1k_enc_device_s"] = n_1k / (R["enc_dev_sustained_msps"] * 1e6)
+        if R.get("dev_sustained_msps"):
+            R["c1k_dec_device_s"] = n_1k / (R["dev_sustained_msps"] * 1e6)
+        log("corpus1000 attribution: " + ", ".join(
+            f"{k[4:]}={R[k]:.2f}s" for k in (
+                "c1k_enc_host_s", "c1k_enc_transfer_s", "c1k_enc_device_s",
+                "c1k_dec_host_s", "c1k_dec_transfer_s", "c1k_dec_device_s",
+                "c1k_dec_tails_s", "c1k_wav_io_s",
+            ) if R.get(k) is not None))
         return True
 
     def x_cbr_sweep():
@@ -834,7 +956,7 @@ def _worker_body() -> None:
     # (~100 s), so under a stressed budget it is the natural sacrifice after
     # every cheaper required metric has been captured. Guarded, not forced:
     # its own decode leg also self-guards on left().
-    stage("corpus1000", 100, x_corpus1k, reserve=25)
+    stage("corpus1000", 120, x_corpus1k, reserve=25)
 
     # single-file encode e2e (tunnel-bound; also feeds the e2e decode stages)
     samples_1 = varied_signal(channels, (16 if SMOKE else 128) * fpc, seed=777)

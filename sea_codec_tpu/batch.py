@@ -40,6 +40,30 @@ from .ops.device_decode import (
 )
 from .utils.errors import SeaInvalidFrame
 
+# Optional pipeline attribution: when a caller (bench.py, --stats) installs a
+# ``StageTimes`` here, the corpus pipelines record where wall-clock goes --
+# ``encode_stage``/``decode_parse`` (host CPU: staging, container parse),
+# ``encode_put``/``decode_put`` (host->device upload), ``encode_fetch``/
+# ``decode_fetch`` (device_get wall: device compute not yet drained + the
+# device->host download), ``encode_assemble``/``decode_assemble`` (host CPU:
+# container serialize / PCM reassembly), and ``encode_wall``/``decode_wall``
+# (the whole pipeline call). Components overlap across threads (the pipeline
+# exists to overlap them), so their sum exceeds the wall time; each number is
+# the direct wall-clock of its section. None (the default) = zero overhead.
+PIPELINE_TIMES = None
+
+
+def _pt(name: str):
+    """stage_timer into PIPELINE_TIMES, or a no-op when attribution is off."""
+    t = PIPELINE_TIMES
+    if t is None:
+        import contextlib
+
+        return contextlib.nullcontext()
+    from .utils.profiling import stage_timer
+
+    return stage_timer(t, name)
+
 
 class ParsedBatch:
     """Host-parsed arrays for the full chunks of one file."""
@@ -691,6 +715,10 @@ def encode_corpus(
     def assemble_cbr(entry) -> None:
         metas, fut = entry
         rows, tail_sf, tail_codes, tail_eh, tail_ew, _fh, _fw, _fp = fut.result()
+        with _pt("encode_assemble"):
+            _assemble_cbr_host(metas, rows, tail_sf, tail_codes, tail_eh, tail_ew)
+
+    def _assemble_cbr_host(metas, rows, tail_sf, tail_codes, tail_eh, tail_ew):
         for bi, (idxs, group, frames) in enumerate(metas):
             for j, (i, fr) in enumerate(zip(idxs, frames)):
                 header = make_header(fr)
@@ -717,6 +745,10 @@ def encode_corpus(
     def assemble_vbr(entry) -> None:
         metas, fut = entry
         sf, codes, sizes, ehist, ewts, fhist, fwts, fprev = fut.result()
+        with _pt("encode_assemble"):
+            _assemble_vbr_host(metas, sf, codes, sizes, ehist, ewts, fhist, fwts, fprev)
+
+    def _assemble_vbr_host(metas, sf, codes, sizes, ehist, ewts, fhist, fwts, fprev):
         # batch-encode every ragged tail in this super-call: two lane-packed
         # device calls per <=512-lane bucket instead of two per file
         jobs, job_files = [], []
@@ -792,40 +824,55 @@ def encode_corpus(
 
     staged: deque = deque()
     fetcher = ThreadPoolExecutor(max_workers=2)
+
+    def _fetch(out):
+        with _pt("encode_fetch"):
+            return jax.device_get(out)
+
+    def _put(x):
+        if PIPELINE_TIMES is None:
+            return jax.device_put(x)
+        # attribution mode: block so the measured time is the transfer, not
+        # the enqueue (serializes the upload against dispatch; acceptable
+        # for a measurement run)
+        with _pt("encode_put"):
+            return jax.block_until_ready(jax.device_put(x))
+
     for s0 in range(0, len(granges), blocks_per_call):
         sub = granges[s0 : s0 + blocks_per_call]
         nb = len(sub)
         if mesh_size:  # pad to a whole number of shards
             nb = -(-nb // mesh_size) * mesh_size
-        metas = []
-        for idxs in sub:
-            group = [np.asarray(files[i], dtype=np.int16) for i in idxs]
-            frames = [f.shape[0] // c for f in group]
-            metas.append((idxs, group, frames))
-        nc_max = max(
-            -(-fr // fpc) for _idxs, _g, frames in metas for fr in frames
-        )
+        with _pt("encode_stage"):
+            metas = []
+            for idxs in sub:
+                group = [np.asarray(files[i], dtype=np.int16) for i in idxs]
+                frames = [f.shape[0] // c for f in group]
+                metas.append((idxs, group, frames))
+            nc_max = max(
+                -(-fr // fpc) for _idxs, _g, frames in metas for fr in frames
+            )
 
-        x = np.zeros((nb, nc_max, fpc, b_full), np.int16)
-        frames_lane = np.zeros((nb, b_full), np.int32)
-        tail_idx = np.zeros((nb, group_size), np.int32)
-        for bi, (idxs, group, frames) in enumerate(metas):
-            for j, (f, fr) in enumerate(zip(group, frames)):
-                lanes = slice(j * c, (j + 1) * c)
-                nc_f = -(-fr // fpc)
-                arr = np.zeros((nc_f * fpc, c), np.int16)
-                arr[:fr] = f[: fr * c].reshape(fr, c)
-                x[bi, :nc_f, :, lanes] = arr.reshape(nc_f, fpc, c)
-                frames_lane[bi, lanes] = fr
-                tail_idx[bi, j] = fr // fpc
+            x = np.zeros((nb, nc_max, fpc, b_full), np.int16)
+            frames_lane = np.zeros((nb, b_full), np.int32)
+            tail_idx = np.zeros((nb, group_size), np.int32)
+            for bi, (idxs, group, frames) in enumerate(metas):
+                for j, (f, fr) in enumerate(zip(group, frames)):
+                    lanes = slice(j * c, (j + 1) * c)
+                    nc_f = -(-fr // fpc)
+                    arr = np.zeros((nc_f * fpc, c), np.int16)
+                    arr[:fr] = f[: fr * c].reshape(fr, c)
+                    x[bi, :nc_f, :, lanes] = arr.reshape(nc_f, fpc, c)
+                    frames_lane[bi, lanes] = fr
+                    tail_idx[bi, j] = fr // fpc
 
-        h0 = np.broadcast_to(
-            np.tile(lms_ops.initial_history(c), (group_size, 1)), (nb, b_full, 4)
-        )
-        w0 = np.broadcast_to(
-            np.tile(lms_ops.initial_weights(c), (group_size, 1)), (nb, b_full, 4)
-        )
-        p0 = np.zeros((nb, b_full), np.int32)
+            h0 = np.broadcast_to(
+                np.tile(lms_ops.initial_history(c), (group_size, 1)), (nb, b_full, 4)
+            )
+            w0 = np.broadcast_to(
+                np.tile(lms_ops.initial_weights(c), (group_size, 1)), (nb, b_full, 4)
+            )
+            p0 = np.zeros((nb, b_full), np.int32)
         if mesh_size:
             from .parallel.pipeline import encode_corpus_blocks_sharded
 
@@ -848,7 +895,7 @@ def encode_corpus(
             )
         elif settings.vbr:
             out = encode_corpus_vbr_nv_blocks(
-                jax.device_put(x),
+                _put(x),
                 frames_lane,
                 h0,
                 w0,
@@ -862,7 +909,7 @@ def encode_corpus(
             )
         else:
             out = encode_corpus_cbr_packed_blocks(
-                jax.device_put(x),
+                _put(x),
                 frames_lane,
                 tail_idx,
                 h0,
@@ -874,7 +921,7 @@ def encode_corpus(
                 n_files=group_size,
                 use_pallas=use_pallas,
             )
-        staged.append((metas, fetcher.submit(jax.device_get, out)))
+        staged.append((metas, fetcher.submit(_fetch, out)))
         if len(staged) > pipeline_depth:
             assemble(staged.popleft())
     while staged:
@@ -966,14 +1013,15 @@ def decode_corpus(
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     staged: list[tuple | None] = []
-    for encoded in files:
-        if on_error == "skip":
-            try:
+    with _pt("decode_parse"):
+        for encoded in files:
+            if on_error == "skip":
+                try:
+                    staged.append(_stage_file_parsed(encoded))
+                except Exception:
+                    staged.append(None)
+            else:
                 staged.append(_stage_file_parsed(encoded))
-            except Exception:
-                staged.append(None)
-        else:
-            staged.append(_stage_file_parsed(encoded))
 
     # group same-config full-chunk batches into shared device batches
     groups: dict[tuple, list[tuple[int, object]]] = {}
@@ -1005,11 +1053,12 @@ def decode_corpus(
     for key, members in groups.items():
         fpc, c, sff, sfb, residual_size, _bw, _w = key
         dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32)
-        res = np.concatenate([b.res_bytes for _fi, b in members])
-        sf = np.concatenate([b.sf for _fi, b in members])
-        rs = np.concatenate([b.rs for _fi, b in members])
-        hist = np.concatenate([b.hist for _fi, b in members])
-        wts = np.concatenate([b.wts for _fi, b in members])
+        with _pt("decode_stage"):
+            res = np.concatenate([b.res_bytes for _fi, b in members])
+            sf = np.concatenate([b.sf for _fi, b in members])
+            rs = np.concatenate([b.rs for _fi, b in members])
+            hist = np.concatenate([b.hist for _fi, b in members])
+            wts = np.concatenate([b.wts for _fi, b in members])
         n = res.shape[0]
         mcb = _max_code_bits(rs, residual_size)
         outs = []
@@ -1041,6 +1090,13 @@ def decode_corpus(
                 # sharded placement: the SPMD decode partitions with no
                 # collectives (chunks are self-contained)
                 args = tuple(jax.device_put(a, chunk_spec) for a in args)
+            elif PIPELINE_TIMES is not None:
+                import jax as _jax
+
+                with _pt("decode_put"):
+                    args = tuple(
+                        _jax.block_until_ready(jnp.asarray(a)) for a in args
+                    )
             else:
                 args = tuple(jnp.asarray(a) for a in args)
             out = decode_chunks_packed(
@@ -1058,19 +1114,29 @@ def decode_corpus(
             # large sequential device_get per batch
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(min(4, len(outs))) as ex:
+            with _pt("decode_fetch"), ThreadPoolExecutor(min(4, len(outs))) as ex:
                 pcms = list(ex.map(np.asarray, outs))
         else:
-            pcms = [np.asarray(o) for o in outs]
-        pcm = np.concatenate(pcms)  # [n, fpc, c]
-        pos = 0
-        for fi, b in members:
-            cnt = b.res_bytes.shape[0]
-            pcm_parts[fi].append(pcm[pos : pos + cnt])
-            pos += cnt
+            with _pt("decode_fetch"):
+                pcms = [np.asarray(o) for o in outs]
+        with _pt("decode_assemble"):
+            pcm = np.concatenate(pcms)  # [n, fpc, c]
+            pos = 0
+            for fi, b in members:
+                cnt = b.res_bytes.shape[0]
+                pcm_parts[fi].append(pcm[pos : pos + cnt])
+                pos += cnt
 
-    tail_pcm = _decode_tails_batched(staged, device_batch)
+    with _pt("decode_tails"):
+        tail_pcm = _decode_tails_batched(staged, device_batch)
 
+    results: list[SeaDecodeInfo | None] = []
+    with _pt("decode_assemble"):
+        results.extend(_decode_corpus_results(staged, pcm_parts, tail_pcm, on_error))
+    return results
+
+
+def _decode_corpus_results(staged, pcm_parts, tail_pcm, on_error):
     results: list[SeaDecodeInfo | None] = []
     for fi, item in enumerate(staged):
         if item is None:

@@ -73,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
     outdir = args.output
     os.makedirs(outdir, exist_ok=True)
 
+    from .batch import _pt
+
     exts = {os.path.splitext(p)[1].lower() for p in paths}
     if exts == {".wav"}:
         from .batch import encode_corpus
@@ -80,25 +82,29 @@ def main(argv: list[str] | None = None) -> int:
 
         waves, names = [], []
         by_config: dict[tuple[int, int], list[int]] = {}
-        for p in paths:
-            try:
-                w = read_wav(p)
-            except (OSError, ValueError) as e:
-                print(f"skip {p}: {e}", file=sys.stderr)
-                continue
-            by_config.setdefault((w.channels, w.sample_rate), []).append(len(waves))
-            waves.append(w)
-            names.append(os.path.splitext(os.path.basename(p))[0])
+        with _pt("wav_read"):
+            for p in paths:
+                try:
+                    w = read_wav(p)
+                except (OSError, ValueError) as e:
+                    print(f"skip {p}: {e}", file=sys.stderr)
+                    continue
+                by_config.setdefault((w.channels, w.sample_rate), []).append(len(waves))
+                waves.append(w)
+                names.append(os.path.splitext(os.path.basename(p))[0])
         t0 = time.perf_counter()
         total = 0
         for (channels, rate), idxs in by_config.items():
-            encoded = encode_corpus(
-                [waves[i].samples for i in idxs], rate, channels, settings, mesh=mesh
-            )
-            for i, enc in zip(idxs, encoded):
-                with open(os.path.join(outdir, names[i] + ".sea"), "wb") as f:
-                    f.write(enc)
-                total += waves[i].samples.shape[0]
+            with _pt("encode_wall"):
+                encoded = encode_corpus(
+                    [waves[i].samples for i in idxs], rate, channels, settings,
+                    mesh=mesh,
+                )
+            with _pt("sea_write"):
+                for i, enc in zip(idxs, encoded):
+                    with open(os.path.join(outdir, names[i] + ".sea"), "wb") as f:
+                        f.write(enc)
+                    total += waves[i].samples.shape[0]
         dt = time.perf_counter() - t0
         print(
             f"encoded {len(waves)} files / {total} samples in {dt:.2f}s "
@@ -108,19 +114,22 @@ def main(argv: list[str] | None = None) -> int:
         from .batch import decode_corpus
         from .utils.wav import write_wav
 
-        blobs = [open(p, "rb").read() for p in paths]
+        with _pt("sea_read"):
+            blobs = [open(p, "rb").read() for p in paths]
         t0 = time.perf_counter()
-        results = decode_corpus(blobs, on_error="skip", mesh=mesh)
+        with _pt("decode_wall"):
+            results = decode_corpus(blobs, on_error="skip", mesh=mesh)
         dt = time.perf_counter() - t0
         total = 0
-        for p, info in zip(paths, results):
-            if info is None:
-                print(f"skip {p}: undecodable", file=sys.stderr)
-                continue
-            name = os.path.splitext(os.path.basename(p))[0] + ".wav"
-            write_wav(np.asarray(info.samples), info.channels, info.sample_rate,
-                      os.path.join(outdir, name))
-            total += info.samples.shape[0]
+        with _pt("wav_write"):
+            for p, info in zip(paths, results):
+                if info is None:
+                    print(f"skip {p}: undecodable", file=sys.stderr)
+                    continue
+                name = os.path.splitext(os.path.basename(p))[0] + ".wav"
+                write_wav(np.asarray(info.samples), info.channels, info.sample_rate,
+                          os.path.join(outdir, name))
+                total += info.samples.shape[0]
         print(
             f"decoded {sum(r is not None for r in results)} files / {total} samples "
             f"in {dt:.2f}s ({total / max(dt, 1e-9) / 1e6:.1f} Msamples/s)"

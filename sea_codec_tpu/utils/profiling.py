@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 from collections import defaultdict
 
@@ -21,6 +22,13 @@ from collections import defaultdict
 class StageTimes(defaultdict):
     def __init__(self):
         super().__init__(float)
+        self._lock = threading.Lock()
+
+    def add(self, name: str, seconds: float) -> None:
+        """Thread-safe accumulate (the corpus pipeline's fetcher threads
+        record into the same StageTimes as the main thread)."""
+        with self._lock:
+            self[name] += seconds
 
     def report(self) -> str:
         total = sum(self.values())
@@ -35,7 +43,7 @@ def stage_timer(times: StageTimes, name: str):
     try:
         yield
     finally:
-        times[name] += time.perf_counter() - t0
+        times.add(name, time.perf_counter() - t0)
 
 
 @contextlib.contextmanager
