@@ -40,3 +40,12 @@ if _cache != "0":
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pallas_interpret() -> bool:
+    """Interpret-mode flag for the Pallas kernel tests: on CPU the kernels
+    run under the interpreter (no Mosaic); on a real TPU
+    (``SEA_TEST_PLATFORM=axon``) the SAME tests exercise the compiled
+    kernels, which is the committed evidence that the compiled path is
+    bit-exact (not just the bench-time spot assertions)."""
+    return _platform == "cpu"

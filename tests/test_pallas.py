@@ -1,6 +1,10 @@
-"""Pallas decode kernel correctness (interpreter mode on CPU; the compiled
-kernel runs the same code on TPU and is exercised by bench.py)."""
+"""Pallas decode kernel correctness.
 
+On CPU the kernels run in interpreter mode; with ``SEA_TEST_PLATFORM=axon``
+the same assertions exercise the COMPILED kernels on the real TPU
+(conftest.pallas_interpret) -- the committed compiled-path evidence."""
+
+from conftest import pallas_interpret
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -25,7 +29,7 @@ def test_pallas_decode_matches_scan(shape):
     args = tuple(jnp.asarray(a) for a in (codes, sf, rs, hist, wts))
     ref = decode_chunks(*args, dqt, scale_factor_frames=20)
     pal = decode_chunks(
-        *args, dqt, scale_factor_frames=20, use_pallas=True, pallas_interpret=True
+        *args, dqt, scale_factor_frames=20, use_pallas=True, pallas_interpret=pallas_interpret()
     )
     np.testing.assert_array_equal(np.asarray(pal), np.asarray(ref))
 
@@ -217,7 +221,7 @@ def test_fused_prolog_matches_split_path(n, fpc, c, sff, sfb, rs):
             jnp.asarray(res_bytes), jnp.asarray(sf),
             jnp.asarray(hist), jnp.asarray(wts),
             scale_factor_frames=sff, frames=fpc, residual_size=rs, sfb=sfb,
-            interpret=True,
+            interpret=pallas_interpret(),
         )
     )
     np.testing.assert_array_equal(got, want)
@@ -231,7 +235,7 @@ def test_fused_prolog_matches_split_path(n, fpc, c, sff, sfb, rs):
             jnp.asarray(res_bytes), jnp.asarray(sf),
             jnp.asarray(hist), jnp.asarray(wts),
             scale_factor_frames=sff, frames=fpc, residual_size=rs, sfb=sfb,
-            interpret=True, lane_output=True,
+            interpret=pallas_interpret(), lane_output=True,
         )
     )
     npad = -(-n // LANES) * LANES
@@ -311,7 +315,7 @@ def test_fused_vbr_matches_xla_path(n, fpc, c, sff, sfb, mcb):
             jnp.asarray(res_bytes), jnp.asarray(sf), jnp.asarray(rs_arr),
             jnp.asarray(hist), jnp.asarray(wts),
             scale_factor_frames=sff, frames=fpc, sfb=sfb,
-            max_code_bits=mcb, interpret=True,
+            max_code_bits=mcb, interpret=pallas_interpret(),
         )
     )
     np.testing.assert_array_equal(got, want)

@@ -12,6 +12,8 @@ native codec by every bench run and scripts/exp_encode_chain.py.
 
 from __future__ import annotations
 
+from conftest import pallas_interpret
+
 import numpy as np
 import pytest
 
@@ -67,7 +69,7 @@ def test_window_kernel_matches_xla(c, sff, sfb, nw, mode, ragged):
     got = encode_windows_pallas_fn(
         jnp.asarray(samples), jnp.asarray(rs), jnp.asarray(n_valid),
         jnp.asarray(hist0), jnp.asarray(wts0), jnp.asarray(prev0),
-        scale_factor_frames=sff, scale_factor_bits=sfb, interpret=True,
+        scale_factor_frames=sff, scale_factor_bits=sfb, interpret=pallas_interpret(),
     )
     want = encode_windows_fn(
         jnp.asarray(samples), jnp.asarray(rs), jnp.asarray(n_valid),
@@ -119,7 +121,7 @@ def test_corpus_cbr_cond_paths_match_xla(fpc, sff, lens):
     args = (jnp.asarray(samples), nv, jnp.asarray(hist0), jnp.asarray(wts0),
             jnp.asarray(prev0))
     kw = dict(scale_factor_frames=sff, scale_factor_bits=4, residual_size=3)
-    got = _corpus_cbr_scan(*args, use_pallas=True, interpret=True, **kw)
+    got = _corpus_cbr_scan(*args, use_pallas=True, interpret=pallas_interpret(), **kw)
     want = _corpus_cbr_scan(*args, use_pallas=False, **kw)
     names = ("sf", "codes", "ehist", "ewts", "hist", "wts", "prev")
     for nm, a, b in zip(names, got, want):
@@ -142,7 +144,7 @@ def test_corpus_vbr_cond_paths_match_xla():
             jnp.asarray(prev0))
     kw = dict(scale_factor_frames=sff, scale_factor_bits=4, base=2,
               dist=(2, 3, 1), n_files=nf)
-    got = _corpus_vbr_scan(*args, use_pallas=True, interpret=True, **kw)
+    got = _corpus_vbr_scan(*args, use_pallas=True, interpret=pallas_interpret(), **kw)
     want = _corpus_vbr_scan(*args, use_pallas=False, **kw)
     names = ("sf", "codes", "sizes", "ehist", "ewts", "hist", "wts", "prev")
     for nm, a, b in zip(names, got, want):
@@ -165,7 +167,7 @@ def test_ranks_only_variant_matches_full_kernel(ragged):
     hist0, wts0, prev0 = _init_state(c, rng)
     args = (jnp.asarray(samples), jnp.asarray(rs), jnp.asarray(n_valid),
             jnp.asarray(hist0), jnp.asarray(wts0), jnp.asarray(prev0))
-    kw = dict(scale_factor_frames=sff, scale_factor_bits=sfb, interpret=True)
+    kw = dict(scale_factor_frames=sff, scale_factor_bits=sfb, interpret=pallas_interpret())
     full = encode_windows_pallas_fn(*args, **kw)
     fast = encode_windows_pallas_fn(*args, ranks_only=True, **kw)
     # codes (index 1) are undefined under ranks_only; everything else exact
@@ -185,7 +187,7 @@ def test_file_cbr_static_all_valid_matches_xla():
     args = (jnp.asarray(samples), jnp.asarray(hist0), jnp.asarray(wts0),
             jnp.asarray(prev0))
     kw = dict(scale_factor_frames=sff, scale_factor_bits=4, residual_size=3)
-    got = encode_file_cbr(*args, use_pallas=True, interpret=True, **kw)
+    got = encode_file_cbr(*args, use_pallas=True, interpret=pallas_interpret(), **kw)
     want = encode_file_cbr(*args, use_pallas=False, **kw)
     names = ("sf", "codes", "ehist", "ewts", "hist", "wts", "prev")
     for nm, a, b in zip(names, got, want):

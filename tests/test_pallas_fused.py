@@ -4,6 +4,7 @@ Interpret-mode Pallas vs the production XLA decode path on the same parsed
 chunks — any divergence in the unpack geometry, curve math, or recurrence
 carry shows up as a sample mismatch."""
 
+from conftest import pallas_interpret
 import numpy as np
 import pytest
 
@@ -43,7 +44,7 @@ def test_fused_single_matches_api(channels, rs, fpc, sff):
         decode_chunks_packed_fused_single(
             b.res_bytes, b.sf, b.hist, b.wts,
             scale_factor_frames=sff, frames=fpc, residual_size=rs,
-            sfb=b.scale_factor_bits, interpret=True,
+            sfb=b.scale_factor_bits, interpret=pallas_interpret(),
         )
     )
     want = np.asarray(sea_decode(encoded).samples).reshape(-1, fpc, channels)
@@ -103,7 +104,7 @@ def test_fused_single_packed32_kernel_path():
         feed.reshape(btot // 4, gt, 128),
         sfvalT.reshape(wp, c, gt, 128),
         lms.reshape(8, c, gt, 128),
-        rs=rs, sff=sff, c=c, m=m, interpret=True, packed32=True,
+        rs=rs, sff=sff, c=c, m=m, interpret=pallas_interpret(), packed32=True,
     )
     got = np.asarray(out.reshape(wp * sff, c, npad)[:fpc, :, :n]).transpose(
         2, 0, 1
@@ -125,7 +126,7 @@ def test_fused_single_lane_output_layout():
         decode_chunks_packed_fused_single(
             b.res_bytes, b.sf, b.hist, b.wts,
             scale_factor_frames=sff, frames=fpc, residual_size=rs,
-            sfb=b.scale_factor_bits, interpret=True, lane_output=True,
+            sfb=b.scale_factor_bits, interpret=pallas_interpret(), lane_output=True,
         )
     )
     n = rect.shape[0]
@@ -168,7 +169,7 @@ def test_vbr_fused_single_matches_api(channels, target, fpc, sff):
             scale_factor_frames=sff, frames=fpc,
             sfb=b.scale_factor_bits,
             max_code_bits=int(np.max(b.rs)),
-            interpret=True,
+            interpret=pallas_interpret(),
         )
     )
     want = np.asarray(sea_decode(encoded).samples).reshape(-1, fpc, channels)
