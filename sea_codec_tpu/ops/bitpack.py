@@ -70,7 +70,13 @@ def unpack_bits(data: np.ndarray, widths: np.ndarray | int, count: int | None = 
                     f"{total_bits} bits"
                 )
             n = count
-        widths = np.full(n, w, dtype=np.int64)
+        if n == 0:
+            return np.zeros(0, dtype=np.uint8)
+        # Constant width: item i occupies bits [i*w, (i+1)*w) -- a plain
+        # reshape of the bit expansion, no gather/mask needed.
+        bits = np.unpackbits(data, bitorder="big", count=n * w)
+        folded = bits.reshape(n, w) << np.arange(w - 1, -1, -1, dtype=np.uint8)
+        return folded.sum(axis=1, dtype=np.uint8)
     else:
         widths = np.asarray(widths, dtype=np.int64)
         n = widths.shape[0]
@@ -110,18 +116,21 @@ def unpack_bits_rows(data: np.ndarray, widths: np.ndarray | int, count: int) -> 
     n, b = data.shape
     if count == 0:
         return np.zeros((n, 0), dtype=np.uint8)
-    bits = np.unpackbits(data, axis=1, bitorder="big").astype(np.uint32)  # [N, B*8]
-    j = np.arange(8, dtype=np.int64)
     if np.isscalar(widths) or np.ndim(widths) == 0:
         w = int(widths)
-        offsets = np.arange(count, dtype=np.int64) * w  # [count]
-        idx = offsets[:, None] + j[None, :]  # [count, 8]
-        valid = j[None, :] < w
-        idx = np.where(valid, idx, 0)
-        gathered = bits[:, idx.reshape(-1)].reshape(n, count, 8)
-        shift = np.where(valid, w - 1 - j[None, :], 0).astype(np.uint32)
-        vals = np.sum(np.where(valid, gathered << shift, 0), axis=2, dtype=np.uint32)
-        return vals.astype(np.uint8)
+        if count * w > b * 8:
+            raise SeaInvalidFrame(
+                f"bitstream too short: need {count * w} bits, have {b * 8}"
+            )
+        # Constant width: contiguous w-bit fields -- reshape the bit
+        # expansion, no gather/mask needed.
+        bits = np.unpackbits(data, axis=1, bitorder="big")[:, : count * w]
+        folded = bits.reshape(n, count, w) << np.arange(
+            w - 1, -1, -1, dtype=np.uint8
+        )
+        return folded.sum(axis=2, dtype=np.uint8)
+    bits = np.unpackbits(data, axis=1, bitorder="big").astype(np.uint32)  # [N, B*8]
+    j = np.arange(8, dtype=np.int64)
     widths = np.asarray(widths, dtype=np.int64)
     assert widths.shape == (n, count)
     offsets = np.zeros((n, count), dtype=np.int64)
