@@ -481,10 +481,45 @@ def decode_vbr_fused_single(
 def fused_vbr_single_supported(
     frames: int, sff: int, c: int, res_len: int, max_code_bits: int = 8
 ) -> bool:
-    """Same fetch-geometry gate as the two-kernel VBR path."""
+    """Fetch-geometry gate of the two-kernel VBR path, plus this kernel's
+    scoped-VMEM footprint.
+
+    The footprint check exists because ``_plan_vbr_blocks_3d``'s *initial*
+    ``mw`` is alignment-forced (``8 // gcd(gc, 8)``): its growth loop keeps
+    ``out_rows <= 256``, but at large ``g*c`` the starting point is already
+    past it (channels=255 => out_rows=2040, observed 16 MB+ scoped-VMEM
+    overflow on v5e: three ~8 MB ``[out_rows|8*c, G_SUB, 128]`` scratch
+    operands). Interpret mode enforces no limit, so this must be gated
+    statically; rejected shapes fall back to the two-kernel / XLA windowed
+    path, which handles any channel count."""
+    from .device_decode import _group_frames, _vbr_fetch_geometry
     from .pallas_dequant import fused_vbr_supported
 
-    return fused_vbr_supported(frames, sff, c, res_len, max_code_bits)
+    if not fused_vbr_supported(frames, sff, c, res_len, max_code_bits):
+        return False
+    g = _group_frames(sff, c)
+    gc = g * c
+    _bw, _k1, nw, _need = _vbr_fetch_geometry(res_len, gc, max_code_bits)
+    mw, _wgp = _plan_vbr_blocks_3d(frames // sff * (sff // g), gc, nw)
+    out_rows = mw * gc
+    if out_rows > MAX_OUT_ROWS:
+        return False
+    # Per-grid-step VMEM estimate: c-proportional planes (lms3 block 8 +
+    # hist/wts scratch 2*4, i32) + wid/pre/sfv blocks (3*mw*c, i32) + words
+    # (mw*nw, i32) + phase/wsum (2*mw, i32) + out/dq (2*out_rows, i16) + a
+    # 4-plane i32 allowance for the extraction temps (calibrated against
+    # the CBR kernel's measured limit: 480 rows = 16.88 MB ~ 4.3 i32
+    # planes/row), against a 15 MB budget (16 MB v5e minus margin).
+    lane = G_SUB * 128
+    est = lane * (
+        16 * c * 4
+        + 3 * mw * c * 4
+        + mw * nw * 4
+        + 2 * mw * 4
+        + 2 * out_rows * 2
+        + 4 * out_rows * 4
+    )
+    return est <= 15 * (1 << 20)
 
 
 @partial(
