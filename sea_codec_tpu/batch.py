@@ -1043,6 +1043,13 @@ def decode_corpus(
         groups.setdefault(key, []).append((fi, batch))
 
     pcm_parts: dict[int, list[np.ndarray]] = {fi: [] for fi in range(len(files))}
+    # Dispatch every file's ragged-tail decode BEFORE the full-chunk group
+    # loop blocks on its fetches: the tail programs are tiny, and queueing
+    # them first lets the device run them while the host drains the (much
+    # larger) full-chunk PCM transfers, instead of paying their dispatch
+    # round trips serially at the end.
+    with _pt("decode_tails"):
+        tail_work = _decode_tails_dispatch(staged, device_batch)
     use_pallas = default_use_pallas()
     mesh_size = mesh.size if mesh is not None and mesh.size > 1 else 0
     if mesh_size:
@@ -1128,7 +1135,7 @@ def decode_corpus(
                 pos += cnt
 
     with _pt("decode_tails"):
-        tail_pcm = _decode_tails_batched(staged, device_batch)
+        tail_pcm = _decode_tails_fetch(tail_work)
 
     results: list[SeaDecodeInfo | None] = []
     with _pt("decode_assemble"):
@@ -1171,14 +1178,18 @@ def _decode_corpus_results(staged, pcm_parts, tail_pcm, on_error):
     return results
 
 
-def _decode_tails_batched(staged, device_batch: int) -> dict[int, np.ndarray]:
-    """Batch-decode every staged file's ragged tail chunk.
+def _decode_tails_dispatch(staged, device_batch: int) -> list[tuple]:
+    """Batch-dispatch every staged file's ragged tail chunk decode.
 
     Tails sharing a config pad to one ``[N, fpc, C]`` shape (mirroring
     ``DecoderModel.decode_chunk(frames_padded=...)``) and decode together --
     per-tail device calls would cost a relay round trip *per file* and, with
     varied tail lengths, one XLA compile per distinct length. ``N`` pads to
-    the next power of two so corpora of different sizes share programs."""
+    the next power of two so corpora of different sizes share programs.
+
+    Returns dispatch records for ``_decode_tails_fetch``; the device arrays
+    are NOT materialized here, so callers can queue the tail programs ahead
+    of other device work and fetch later."""
     groups: dict[tuple, list[tuple[int, SeaChunk]]] = {}
     for fi, item in enumerate(staged):
         if item is None:
@@ -1188,7 +1199,7 @@ def _decode_tails_batched(staged, device_batch: int) -> dict[int, np.ndarray]:
             continue
         key = (fpc, header.channels, chunk.scale_factor_frames, chunk.scale_factor_bits)
         groups.setdefault(key, []).append((fi, chunk))
-    out: dict[int, np.ndarray] = {}
+    work: list[tuple] = []
     for (fpc, c, sff, sfb), members in groups.items():
         dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32)
         wp = -(-fpc // sff)
@@ -1226,6 +1237,14 @@ def _decode_tails_batched(staged, device_batch: int) -> dict[int, np.ndarray]:
                 scale_factor_frames=sff,
             )
             outs.append(pcm[:n_real] if pad else pcm)
+        work.append((members, outs, c))
+    return work
+
+
+def _decode_tails_fetch(work: list[tuple]) -> dict[int, np.ndarray]:
+    """Materialize the tail decodes queued by ``_decode_tails_dispatch``."""
+    out: dict[int, np.ndarray] = {}
+    for members, outs, c in work:
         pcm = np.concatenate([np.asarray(o) for o in outs])
         for j, (fi, ch) in enumerate(members):
             out[fi] = pcm[j].reshape(-1)[: ch.frames_in_chunk * c]
