@@ -1057,6 +1057,7 @@ def decode_corpus(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         chunk_spec = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    group_outs: list[tuple] = []
     for key, members in groups.items():
         fpc, c, sff, sfb, residual_size, _bw, _w = key
         dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32)
@@ -1116,18 +1117,26 @@ def decode_corpus(
                 max_code_bits=mcb,
             )
             outs.append(out[:n_real] if pad else out)
-        if len(outs) > 1:
-            # concurrent fetches pipeline the relay link far better than one
-            # large sequential device_get per batch
-            from concurrent.futures import ThreadPoolExecutor
+        group_outs.append((members, outs))
 
-            with _pt("decode_fetch"), ThreadPoolExecutor(min(4, len(outs))) as ex:
-                pcms = list(ex.map(np.asarray, outs))
-        else:
-            with _pt("decode_fetch"):
-                pcms = [np.asarray(o) for o in outs]
-        with _pt("decode_assemble"):
-            pcm = np.concatenate(pcms)  # [n, fpc, c]
+    # ONE fetch phase for everything dispatched above -- full-chunk batches
+    # AND tail batches drain through the same thread pool, so the relay
+    # link is pipelined end to end instead of serializing the (smaller)
+    # tail transfers after the main ones.
+    every = [o for _m, outs in group_outs for o in outs]
+    every += [o for _m, outs, _c in tail_work for o in outs]
+    if len(every) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with _pt("decode_fetch"), ThreadPoolExecutor(min(4, len(every))) as ex:
+            fetched = list(ex.map(np.asarray, every))
+    else:
+        with _pt("decode_fetch"):
+            fetched = [np.asarray(o) for o in every]
+    it = iter(fetched)
+    with _pt("decode_assemble"):
+        for members, outs in group_outs:
+            pcm = np.concatenate([next(it) for _ in outs])  # [n, fpc, c]
             pos = 0
             for fi, b in members:
                 cnt = b.res_bytes.shape[0]
@@ -1135,7 +1144,9 @@ def decode_corpus(
                 pos += cnt
 
     with _pt("decode_tails"):
-        tail_pcm = _decode_tails_fetch(tail_work)
+        tail_pcm = _decode_tails_fetch(
+            [(m, [next(it) for _ in outs], c) for m, outs, c in tail_work]
+        )
 
     results: list[SeaDecodeInfo | None] = []
     with _pt("decode_assemble"):
