@@ -123,3 +123,22 @@ def test_pack_bits_rows_device_matches_scalar(width):
         got = np.asarray(pack_bits_rows_device(jnp.asarray(vals), width))
         want = np.stack([bitpack.pack_bits(v, width) for v in vals])
         np.testing.assert_array_equal(got, want)
+
+
+def test_unpack_too_short_raises():
+    """Both unpack surfaces reject a bitstream with fewer bits than the
+    requested items as SeaInvalidFrame (reference returns a Result error,
+    src/codec/bits.rs unpack bounds), never a raw IndexError -- this guards
+    the constant-width fast paths' explicit bounds checks."""
+    from sea_codec_tpu.utils.errors import SeaInvalidFrame
+
+    data = np.zeros(3, dtype=np.uint8)  # 24 bits
+    with pytest.raises(SeaInvalidFrame):
+        bitpack.unpack_bits(data, 5, count=5)  # needs 25
+    with pytest.raises(SeaInvalidFrame):
+        bitpack.unpack_bits(data, np.array([8, 8, 8, 8], dtype=np.int64))
+    with pytest.raises(SeaInvalidFrame):
+        bitpack.unpack_bits_rows(data[None, :], 5, count=5)
+    # exact fit still succeeds on every surface
+    assert bitpack.unpack_bits(data, 8, count=3).shape == (3,)
+    assert bitpack.unpack_bits_rows(data[None, :], 8, count=3).shape == (1, 3)
