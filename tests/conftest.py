@@ -41,6 +41,46 @@ if _cache != "0":
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# ---------------------------------------------------------------------------
+# Suite-scale mitigation: periodically drop JAX's in-process executable caches.
+#
+# The full single-process suite compiles hundreds of distinct XLA CPU
+# executables; under jax/jaxlib 0.9.0 the process RSS grows ~1 GB -> ~8 GB
+# across the run and reliably segfaults (rc=139) deep inside
+# jaxlib's executable deserialize/compile path around the ~557th test
+# (tests/test_roundtrip.py::test_parameters) -- reproduced 3/3 with and
+# without the persistent test cache, never reproduced by any <=280-test
+# subset. Dropping the jit/pjit executable caches every N tests (plus a GC
+# pass) bounds the accumulated native state; recompiles after a clear are
+# serviced from the on-disk persistent cache, so the wall-clock cost is
+# small. SEA_TEST_CLEAR_EVERY=0 disables (restores the crashing behavior,
+# useful for reproducing the underlying jaxlib issue).
+# ---------------------------------------------------------------------------
+_CLEAR_EVERY = int(os.environ.get("SEA_TEST_CLEAR_EVERY", "60"))
+_RSS_LOG = os.environ.get("SEA_TEST_RSS", "0") != "0"
+_test_count = 0
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except Exception:
+        return float("nan")
+
+
+def pytest_runtest_teardown(item, nextitem):
+    global _test_count
+    _test_count += 1
+    if _CLEAR_EVERY and _test_count % _CLEAR_EVERY == 0:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+        if _RSS_LOG:
+            sys.stderr.write(f"\n[conftest] test {_test_count}: rss={_rss_gb():.2f} GB\n")
+
 
 def pallas_interpret() -> bool:
     """Interpret-mode flag for the Pallas kernel tests: on CPU the kernels
