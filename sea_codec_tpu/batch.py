@@ -34,7 +34,6 @@ from .models.decoder import DecoderModel
 from .ops import bitpack, tables
 from .ops.device_decode import (
     batch_max_code_bits as _max_code_bits,
-    decode_chunks,
     decode_chunks_packed,
     default_use_pallas,
 )
@@ -1043,13 +1042,20 @@ def decode_corpus(
         groups.setdefault(key, []).append((fi, batch))
 
     pcm_parts: dict[int, list[np.ndarray]] = {fi: [] for fi in range(len(files))}
-    # Dispatch every file's ragged-tail decode BEFORE the full-chunk group
-    # loop blocks on its fetches: the tail programs are tiny, and queueing
-    # them first lets the device run them while the host drains the (much
-    # larger) full-chunk PCM transfers, instead of paying their dispatch
-    # round trips serially at the end.
+    # Ragged tails ride the SAME decode_chunks_packed program as the full
+    # chunks: each tail repacks (host side) into a full-chunk packed row --
+    # residual section zero-padded to the group byte width, sf/rs padded with
+    # suffix windows -- and joins its file's config group. Pad windows address
+    # zero bytes or clamp inside the span fetch, so their decoded frames are
+    # garbage that the [:frames_in_chunk] slice drops, while every real
+    # sample's bit position matches the repacked layout exactly (validated
+    # bit-exact for CBR and VBR; docs/PERF.md host-pipeline section). This
+    # deletes the old separate tail decode program -- its process-lifetime
+    # trace + relay program load (~3-11 s in a fresh process) and its
+    # transfers -- tails now cost one host repack plus rows in batches that
+    # already exist.
     with _pt("decode_tails"):
-        tail_work = _decode_tails_dispatch(staged, device_batch)
+        tails_by_key = _merge_tail_rows(staged, groups)
     use_pallas = default_use_pallas()
     mesh_size = mesh.size if mesh is not None and mesh.size > 1 else 0
     if mesh_size:
@@ -1059,14 +1065,29 @@ def decode_corpus(
         chunk_spec = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     group_outs: list[tuple] = []
     for key, members in groups.items():
-        fpc, c, sff, sfb, residual_size, _bw, _w = key
+        fpc, c, sff, sfb, residual_size, bw, _w = key
+        tails = tails_by_key.get(key, ())
         dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32)
         with _pt("decode_stage"):
-            res = np.concatenate([b.res_bytes for _fi, b in members])
-            sf = np.concatenate([b.sf for _fi, b in members])
-            rs = np.concatenate([b.rs for _fi, b in members])
-            hist = np.concatenate([b.hist for _fi, b in members])
-            wts = np.concatenate([b.wts for _fi, b in members])
+            res_l = [b.res_bytes for _fi, b in members]
+            sf_l = [b.sf for _fi, b in members]
+            rs_l = [b.rs for _fi, b in members]
+            hist_l = [b.hist for _fi, b in members]
+            wts_l = [b.wts for _fi, b in members]
+            if tails:
+                t_res = np.zeros((len(tails), bw), np.uint8)
+                for j, t in enumerate(tails):
+                    t_res[j, : t[1].shape[0]] = t[1]
+                res_l.append(t_res)
+                sf_l.append(np.stack([t[2] for t in tails]))
+                rs_l.append(np.stack([t[3] for t in tails]))
+                hist_l.append(np.stack([t[4] for t in tails]))
+                wts_l.append(np.stack([t[5] for t in tails]))
+            res = np.concatenate(res_l)
+            sf = np.concatenate(sf_l)
+            rs = np.concatenate(rs_l)
+            hist = np.concatenate(hist_l)
+            wts = np.concatenate(wts_l)
         n = res.shape[0]
         mcb = _max_code_bits(rs, residual_size)
         outs = []
@@ -1117,14 +1138,15 @@ def decode_corpus(
                 max_code_bits=mcb,
             )
             outs.append(out[:n_real] if pad else out)
-        group_outs.append((members, outs))
+        group_outs.append((members, tails, outs))
 
-    # ONE fetch phase for everything dispatched above -- full-chunk batches
-    # AND tail batches drain through the same thread pool, so the relay
-    # link is pipelined end to end instead of serializing the (smaller)
-    # tail transfers after the main ones.
-    every = [o for _m, outs in group_outs for o in outs]
-    every += [o for _m, outs, _c in tail_work for o in outs]
+    # ONE fetch phase for everything dispatched above (full-chunk AND merged
+    # tail rows drain through the same thread pool, pipelining the relay
+    # link end to end). Every dispatched output stays live on device until
+    # this drain, so peak device memory scales with the whole corpus's
+    # decoded PCM (~2 bytes x total samples): a corpus whose decoded PCM
+    # approaches device HBM should be decoded in slices by the caller.
+    every = [o for _m, _t, outs in group_outs for o in outs]
     if len(every) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1134,19 +1156,18 @@ def decode_corpus(
         with _pt("decode_fetch"):
             fetched = [np.asarray(o) for o in every]
     it = iter(fetched)
+    tail_pcm: dict[int, np.ndarray] = {}
     with _pt("decode_assemble"):
-        for members, outs in group_outs:
+        for members, tails, outs in group_outs:
             pcm = np.concatenate([next(it) for _ in outs])  # [n, fpc, c]
             pos = 0
             for fi, b in members:
                 cnt = b.res_bytes.shape[0]
                 pcm_parts[fi].append(pcm[pos : pos + cnt])
                 pos += cnt
-
-    with _pt("decode_tails"):
-        tail_pcm = _decode_tails_fetch(
-            [(m, [next(it) for _ in outs], c) for m, outs, c in tail_work]
-        )
+            for fi, _sec, _sf, _rs, _h, _w2, f in tails:
+                tail_pcm[fi] = pcm[pos, :f].reshape(-1)
+                pos += 1
 
     results: list[SeaDecodeInfo | None] = []
     with _pt("decode_assemble"):
@@ -1189,77 +1210,100 @@ def _decode_corpus_results(staged, pcm_parts, tail_pcm, on_error):
     return results
 
 
-def _decode_tails_dispatch(staged, device_batch: int) -> list[tuple]:
-    """Batch-dispatch every staged file's ragged tail chunk decode.
+def _tail_packed_row(chunk: SeaChunk, c: int, fpc: int):
+    """Repack one ragged tail chunk into the full-chunk packed-row layout.
 
-    Tails sharing a config pad to one ``[N, fpc, C]`` shape (mirroring
-    ``DecoderModel.decode_chunk(frames_padded=...)``) and decode together --
-    per-tail device calls would cost a relay round trip *per file* and, with
-    varied tail lengths, one XLA compile per distinct length. ``N`` pads to
-    the next power of two so corpora of different sizes share programs.
+    Returns ``(sec, sf, rs, f)``: the repacked residual section bytes (real
+    samples only, laid out exactly where the full-chunk prefix-sum addressing
+    of ``decode_chunks_packed`` expects them -- every real window before the
+    last is complete, and within the partial last window the real codes are
+    the leading ones), sf/rs padded to the full-chunk window count ``W``
+    (suffix windows: sf=0, rs=1 for VBR / the constant width for CBR), and
+    the real frame count. The caller zero-pads ``sec`` to the group's byte
+    width; bits past it decode to garbage frames that get sliced off.
+    Ragged-tail semantics: reference ``src/codec/chunk.rs:76-79,105-106``.
+    """
+    sff = chunk.scale_factor_frames
+    f = chunk.frames_in_chunk
+    w = -(-f // sff)
+    W = -(-fpc // sff)
+    if chunk.chunk_type == CHUNK_TYPE_VBR:
+        sizes = chunk.vbr_residual_sizes.reshape(w, c)
+        widths = np.repeat(sizes, sff, axis=0)[:f].reshape(-1)
+        rs = np.ones((W, c), np.uint8)
+        rs[:w] = sizes
+    else:
+        widths = np.full(f * c, chunk.residual_size, np.int64)
+        rs = np.full((W, c), chunk.residual_size, np.uint8)
+    sec = bitpack.pack_bits(chunk.residuals.reshape(-1).astype(np.uint32), widths)
+    sf = np.zeros((W, c), np.uint8)
+    sf[:w] = chunk.scale_factors.reshape(w, c)
+    return sec, sf, rs, f
 
-    Returns dispatch records for ``_decode_tails_fetch``; the device arrays
-    are NOT materialized here, so callers can queue the tail programs ahead
-    of other device work and fetch later."""
-    groups: dict[tuple, list[tuple[int, SeaChunk]]] = {}
+
+def _merge_tail_rows(staged, groups: dict[tuple, list]) -> dict[tuple, list[tuple]]:
+    """Assign every staged file's ragged tail a packed row in a config group.
+
+    A tail whose file has a full-chunk batch of matching config (and whose
+    repacked section fits the group's byte width -- always, for CBR; for VBR
+    a pathological tiny-chunk config could overflow) joins that group's key.
+    The rest (tail-only files, overflow) get natural-width groups: the exact
+    full-chunk byte width for CBR, the max repacked length rounded up to 64
+    for VBR (keyed into ``groups`` so the caller dispatches them through the
+    same ``decode_chunks_packed`` program family).
+    """
+    tails_by_key: dict[tuple, list[tuple]] = {}
+    pend: dict[tuple, list[tuple]] = {}
     for fi, item in enumerate(staged):
         if item is None:
             continue
-        header, _b, _fr, chunk, fpc = item
+        header, batch, _fr, chunk, fpc = item
         if chunk is None:
             continue
-        key = (fpc, header.channels, chunk.scale_factor_frames, chunk.scale_factor_bits)
-        groups.setdefault(key, []).append((fi, chunk))
-    work: list[tuple] = []
-    for (fpc, c, sff, sfb), members in groups.items():
-        dqt_flat = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), dtype=jnp.int32)
-        wp = -(-fpc // sff)
-        n = len(members)
-        codes = np.zeros((n, fpc, c), np.uint8)
-        sf = np.zeros((n, wp, c), np.uint8)
-        rs = np.ones((n, wp, c), np.uint8)
-        hist = np.zeros((n, c, 4), np.int32)
-        wts = np.zeros((n, c, 4), np.int32)
-        for j, (_fi, ch) in enumerate(members):
-            f = ch.frames_in_chunk
-            w = -(-f // sff)
-            codes[j, :f] = ch.residuals.reshape(f, c)
-            sf[j, :w] = ch.scale_factors.reshape(w, c)
-            if ch.chunk_type == CHUNK_TYPE_VBR:
-                rs[j, :w] = ch.vbr_residual_sizes.reshape(w, c)
-            else:
-                rs[j, :] = ch.residual_size
-            hist[j] = ch.lms_history
-            wts[j] = ch.lms_weights
-        outs = []
-        for s0 in range(0, n, device_batch):
-            e0 = min(s0 + device_batch, n)
-            n_real = e0 - s0
-            np2 = 1 << (n_real - 1).bit_length()
-            pad = np2 - n_real
-            args = (codes[s0:e0], sf[s0:e0], rs[s0:e0], hist[s0:e0], wts[s0:e0])
-            if pad:
-                args = tuple(
-                    np.concatenate([a, np.repeat(a[:1], pad, axis=0)]) for a in args
-                )
-            pcm = decode_chunks(
-                *(jnp.asarray(a) for a in args),
-                dqt_flat,
-                scale_factor_frames=sff,
+        c = header.channels
+        sec, sf, rs, f = _tail_packed_row(chunk, c, fpc)
+        cw = 0 if chunk.chunk_type == CHUNK_TYPE_VBR else chunk.residual_size
+        wp = sf.shape[0]
+        rec = (fi, sec, sf, rs, chunk.lms_history, chunk.lms_weights, f)
+        key = None
+        if (
+            batch is not None
+            and batch.scale_factor_frames == chunk.scale_factor_frames
+            and batch.scale_factor_bits == chunk.scale_factor_bits
+            and batch.residual_size == cw
+            and batch.sf.shape[1] == wp
+            and sec.shape[0] <= batch.res_bytes.shape[1]
+        ):
+            key = (
+                fpc,
+                c,
+                batch.scale_factor_frames,
+                batch.scale_factor_bits,
+                batch.residual_size,
+                batch.res_bytes.shape[1],
+                batch.sf.shape[1],
             )
-            outs.append(pcm[:n_real] if pad else pcm)
-        work.append((members, outs, c))
-    return work
-
-
-def _decode_tails_fetch(work: list[tuple]) -> dict[int, np.ndarray]:
-    """Materialize the tail decodes queued by ``_decode_tails_dispatch``."""
-    out: dict[int, np.ndarray] = {}
-    for members, outs, c in work:
-        pcm = np.concatenate([np.asarray(o) for o in outs])
-        for j, (fi, ch) in enumerate(members):
-            out[fi] = pcm[j].reshape(-1)[: ch.frames_in_chunk * c]
-    return out
+        if key is None:
+            pkey = (
+                fpc,
+                c,
+                chunk.scale_factor_frames,
+                chunk.scale_factor_bits,
+                cw,
+                wp,
+            )
+            pend.setdefault(pkey, []).append(rec)
+        else:
+            tails_by_key.setdefault(key, []).append(rec)
+    for (fpc, c, sff, sfb, cw, wp), lst in pend.items():
+        if cw:
+            bw = bitpack.packed_byte_len(cw, fpc * c)
+        else:
+            bw = max(64, -(-max(r[1].shape[0] for r in lst) // 64) * 64)
+        key = (fpc, c, sff, sfb, cw, bw, wp)
+        tails_by_key.setdefault(key, []).extend(lst)
+        groups.setdefault(key, [])
+    return tails_by_key
 
 
 def _stage_file_parsed(encoded: bytes):
