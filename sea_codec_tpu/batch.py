@@ -826,7 +826,13 @@ def encode_corpus(
 
     def _fetch(out):
         with _pt("encode_fetch"):
-            return jax.device_get(out)
+            r = jax.device_get(out)
+        if PIPELINE_TIMES is not None:
+            PIPELINE_TIMES.add(
+                "encode_fetch_bytes",
+                float(sum(a.nbytes for a in jax.tree_util.tree_leaves(r))),
+            )
+        return r
 
     def _put(x):
         if PIPELINE_TIMES is None:
@@ -834,6 +840,10 @@ def encode_corpus(
         # attribution mode: block so the measured time is the transfer, not
         # the enqueue (serializes the upload against dispatch; acceptable
         # for a measurement run)
+        PIPELINE_TIMES.add(
+            "encode_put_bytes",
+            float(sum(a.nbytes for a in jax.tree_util.tree_leaves(x))),
+        )
         with _pt("encode_put"):
             return jax.block_until_ready(jax.device_put(x))
 
@@ -1122,6 +1132,9 @@ def decode_corpus(
             elif PIPELINE_TIMES is not None:
                 import jax as _jax
 
+                PIPELINE_TIMES.add(
+                    "decode_put_bytes", float(sum(a.nbytes for a in args))
+                )
                 with _pt("decode_put"):
                     args = tuple(
                         _jax.block_until_ready(jnp.asarray(a)) for a in args
@@ -1155,6 +1168,10 @@ def decode_corpus(
     else:
         with _pt("decode_fetch"):
             fetched = [np.asarray(o) for o in every]
+    if PIPELINE_TIMES is not None:
+        PIPELINE_TIMES.add(
+            "decode_fetch_bytes", float(sum(a.nbytes for a in fetched))
+        )
     it = iter(fetched)
     tail_pcm: dict[int, np.ndarray] = {}
     with _pt("decode_assemble"):

@@ -31,9 +31,16 @@ class StageTimes(defaultdict):
             self[name] += seconds
 
     def report(self) -> str:
-        total = sum(self.values())
-        lines = [f"{k:>20}: {v * 1e3:9.2f} ms ({v / total * 100:5.1f}%)" for k, v in self.items()]
+        # keys ending in _bytes are transfer-byte counters, not seconds
+        times = {k: v for k, v in self.items() if not k.endswith("_bytes")}
+        total = sum(times.values())
+        lines = [f"{k:>20}: {v * 1e3:9.2f} ms ({v / total * 100:5.1f}%)" for k, v in times.items()]
         lines.append(f"{'total':>20}: {total * 1e3:9.2f} ms")
+        lines += [
+            f"{k:>20}: {v / 1e6:9.1f} MB"
+            for k, v in self.items()
+            if k.endswith("_bytes")
+        ]
         return "\n".join(lines)
 
 
