@@ -66,31 +66,46 @@ def main() -> None:
     )
     state0 = pack_state(hist0, wts0, jnp.zeros((L,), jnp.int32), S, L)
 
+    K = 16  # kernel invocations per program: ONE relay dispatch (~25 ms
+    # fixed) covers K dependent kernel runs, so the A/B measures the
+    # ~1.3 ms kernels and not the dispatch (bench's "sustained" shape)
+
     def make(ranks_only: bool):
-        def f(state, smp):
+        def step(state, _):
             _codes, _sf, ranks, st = run_window_search(
                 state, smp, nv, streams1, wb, wp, SFF, SFB, L,
                 all_valid=True, ranks_only=ranks_only,
             )
-            return ranks, st
+            return st, ranks
+
+        def f(state):
+            st, ranks = jax.lax.scan(step, state, None, length=K)
+            return ranks[-1], st
 
         return jax.jit(f)
+
+    def sync(out):
+        # fetch one element: over the relay, block_until_ready can return
+        # at enqueue-ack; a fetch is the trustworthy sync
+        return np.asarray(out[1][0, 0, 0])
 
     results = {}
     outs = {}
     for name, ro in (("ranks_only", True), ("full", False)):
         f = make(ro)
-        outs[name] = jax.block_until_ready(f(state0, smp))  # compile + warm
+        out = f(state0)
+        sync(out)  # compile + warm
+        outs[name] = out
         ts = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(state0, smp))
+            sync(f(state0))
             ts.append(time.perf_counter() - t0)
         best = min(ts)
         results[name] = best
         print(
-            f"{name:>10}: best {best * 1e3:7.2f} ms over {REPS} "
-            f"({FPC * L / best / 1e6:6.0f} Msamples/s-lane)"
+            f"{name:>10}: best {best * 1e3:7.2f} ms over {REPS} for {K} "
+            f"kernel runs ({FPC * L * K / best / 1e6:6.0f} Msamples/s-lane)"
         )
 
     # the variants must agree on what pass 2 consumes: ranks + carried state
