@@ -159,6 +159,11 @@ def emit() -> None:
         "vbr_encode_sustained_Msps": rnd(R.get("vbr_enc_dev_sustained_msps")),
         "compression_ratio": rnd(R.get("ratio")),
         "psnr_db": rnd(R.get("psnr"), 1),
+        # intra-repo independence check: device decode vs this repo's
+        # clean-room C++ engine (native/sea_native.cpp). NOT a check
+        # against the Rust reference binary (none exists here): CBR bytes
+        # are additionally pinned to the upstream C decoder in
+        # tests/test_oracle.py; VBR divergences are documented in FORMAT.md
         "decode_vs_native_ok": bool(R.get("headline_ok")),
         "failed_stages": FAILED,
         "mosaic_init_s": rnd(R.get("mosaic_init_s"), 1),
