@@ -57,7 +57,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # useful for reproducing the underlying jaxlib issue).
 # ---------------------------------------------------------------------------
 _CLEAR_EVERY = int(os.environ.get("SEA_TEST_CLEAR_EVERY", "60"))
-_RSS_LOG = os.environ.get("SEA_TEST_RSS", "0") != "0"
+# SEA_TEST_RSS: "0" (off, default), "1" (stderr -- note pytest captures
+# teardown stderr, so this only shows with -s), or a file path (appended,
+# survives capture; used for the committed RSS profile)
+_RSS_LOG = os.environ.get("SEA_TEST_RSS", "0")
 _test_count = 0
 
 
@@ -70,16 +73,30 @@ def _rss_gb() -> float:
         return float("nan")
 
 
+def _rss_report(when: str) -> None:
+    if _RSS_LOG == "0":
+        return
+    line = f"[conftest] test {_test_count} {when}: rss={_rss_gb():.2f} GB\n"
+    if _RSS_LOG == "1":
+        sys.stderr.write("\n" + line)
+    else:
+        with open(_RSS_LOG, "a") as f:
+            f.write(line)
+
+
 def pytest_runtest_teardown(item, nextitem):
     global _test_count
     _test_count += 1
     if _CLEAR_EVERY and _test_count % _CLEAR_EVERY == 0:
+        _rss_report("pre-clear")
         import gc
 
         jax.clear_caches()
         gc.collect()
-        if _RSS_LOG:
-            sys.stderr.write(f"\n[conftest] test {_test_count}: rss={_rss_gb():.2f} GB\n")
+        _rss_report("post-clear")
+    elif not _CLEAR_EVERY and _test_count % 60 == 0:
+        # mitigation disabled (repro mode): still profile RSS growth
+        _rss_report("no-clear")
 
 
 def pallas_interpret() -> bool:
