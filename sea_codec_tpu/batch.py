@@ -1074,6 +1074,44 @@ def decode_corpus(
 
         chunk_spec = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     group_outs: list[tuple] = []
+    # Deferred-fetch bookkeeping: dispatched outputs stay live on device
+    # until drained, so peak device memory tracks the live decoded PCM
+    # (~2 bytes x samples). The drain normally happens ONCE after every
+    # dispatch (maximal host/device overlap, one pipelined pass over the
+    # relay link) -- but when the estimated live bytes exceed
+    # SEA_DECODE_MAX_LIVE_BYTES (default 4 GiB; far above the bench corpus,
+    # which therefore keeps the single-drain behavior), the pending outputs
+    # drain mid-dispatch in waves, so corpora of any size fit in device
+    # memory as long as one wave does.
+    import os as _os
+
+    max_live = int(_os.environ.get("SEA_DECODE_MAX_LIVE_BYTES", str(4 << 30)))
+    pending: list = []  # dispatched, not yet fetched (global dispatch order)
+    fetched: list = []  # host arrays, same order
+    live_bytes = 0
+
+    def _drain():
+        nonlocal live_bytes
+        if not pending:
+            return
+        if len(pending) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with _pt("decode_fetch"), ThreadPoolExecutor(
+                min(4, len(pending))
+            ) as ex:
+                got = list(ex.map(np.asarray, pending))
+        else:
+            with _pt("decode_fetch"):
+                got = [np.asarray(o) for o in pending]
+        if PIPELINE_TIMES is not None:
+            PIPELINE_TIMES.add(
+                "decode_fetch_bytes", float(sum(a.nbytes for a in got))
+            )
+        fetched.extend(got)
+        pending.clear()
+        live_bytes = 0
+
     for key, members in groups.items():
         fpc, c, sff, sfb, residual_size, bw, _w = key
         tails = tails_by_key.get(key, ())
@@ -1151,27 +1189,16 @@ def decode_corpus(
                 max_code_bits=mcb,
             )
             outs.append(out[:n_real] if pad else out)
+            pending.append(outs[-1])
+            live_bytes += target * fpc * c * 2
+            if live_bytes >= max_live:
+                _drain()
         group_outs.append((members, tails, outs))
 
-    # ONE fetch phase for everything dispatched above (full-chunk AND merged
-    # tail rows drain through the same thread pool, pipelining the relay
-    # link end to end). Every dispatched output stays live on device until
-    # this drain, so peak device memory scales with the whole corpus's
-    # decoded PCM (~2 bytes x total samples): a corpus whose decoded PCM
-    # approaches device HBM should be decoded in slices by the caller.
-    every = [o for _m, _t, outs in group_outs for o in outs]
-    if len(every) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with _pt("decode_fetch"), ThreadPoolExecutor(min(4, len(every))) as ex:
-            fetched = list(ex.map(np.asarray, every))
-    else:
-        with _pt("decode_fetch"):
-            fetched = [np.asarray(o) for o in every]
-    if PIPELINE_TIMES is not None:
-        PIPELINE_TIMES.add(
-            "decode_fetch_bytes", float(sum(a.nbytes for a in fetched))
-        )
+    # drain everything still pending -- in the common case this is the ONE
+    # fetch phase for the whole corpus (full-chunk AND merged tail rows
+    # through the same thread pool, pipelining the relay link end to end)
+    _drain()
     it = iter(fetched)
     tail_pcm: dict[int, np.ndarray] = {}
     with _pt("decode_assemble"):

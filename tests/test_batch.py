@@ -229,3 +229,23 @@ def test_batch_engines_validate_parameters(channels, kwargs):
         encode_sea(samples, TEST_SAMPLE_RATE, channels, settings)
     with pytest.raises(SeaInvalidParameters):
         encode_corpus([samples], TEST_SAMPLE_RATE, channels, settings)
+
+
+def test_decode_corpus_bounded_drain(monkeypatch):
+    """SEA_DECODE_MAX_LIVE_BYTES bounds live device outputs: with the
+    threshold forced to 1 byte the fetch drains after every dispatched
+    batch (many waves) and must produce byte-identical results to the
+    default single-drain pipeline (advisor finding, round 4: peak device
+    memory scales with the whole corpus's decoded PCM)."""
+    from sea_codec_tpu.batch import decode_corpus, encode_corpus
+    from sea_codec_tpu.utils.signal import varied_signal
+
+    channels, fpc = 2, 100
+    st = EncoderSettings(residual_bits=3.0, frames_per_chunk=fpc)
+    sigs = [varied_signal(channels, n, seed=n) for n in (350, 700, 37, 100)]
+    enc = encode_corpus(sigs, TEST_SAMPLE_RATE, channels, st)
+    want = decode_corpus(enc, device_batch=2)
+    monkeypatch.setenv("SEA_DECODE_MAX_LIVE_BYTES", "1")
+    got = decode_corpus(enc, device_batch=2)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w.samples, g.samples)
