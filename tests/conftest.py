@@ -50,11 +50,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # jaxlib's executable deserialize/compile path around the ~557th test
 # (tests/test_roundtrip.py::test_parameters) -- reproduced 3/3 with and
 # without the persistent test cache, never reproduced by any <=280-test
-# subset. Dropping the jit/pjit executable caches every N tests (plus a GC
-# pass) bounds the accumulated native state; recompiles after a clear are
-# serviced from the on-disk persistent cache, so the wall-clock cost is
-# small. SEA_TEST_CLEAR_EVERY=0 disables (restores the crashing behavior,
-# useful for reproducing the underlying jaxlib issue).
+# subset. Root cause (upstream-isolated by scripts/repro_jaxlib_segfault.py
+# with zero project code): XLA:CPU's LLVM execution engine exhausts a
+# bounded allocation as live executables accumulate ("LLVM compilation
+# error: Cannot allocate memory", then segfault -- NOT system OOM).
+# Dropping the jit/pjit executable caches every N tests (plus a GC pass)
+# bounds the accumulated native state (committed profiles:
+# docs/rss_profile_{mitigated,unmitigated}_r05.txt); recompiles after a
+# clear are serviced from the on-disk persistent cache, so the wall-clock
+# cost is small. SEA_TEST_CLEAR_EVERY=0 disables (restores the crashing
+# behavior, useful for reproducing the underlying jaxlib issue).
 # ---------------------------------------------------------------------------
 _CLEAR_EVERY = int(os.environ.get("SEA_TEST_CLEAR_EVERY", "60"))
 # SEA_TEST_RSS: "0" (off, default), "1" (stderr -- note pytest captures
