@@ -939,11 +939,6 @@ def encode_corpus(
     return results
 
 
-def _wp(w: int) -> int:
-    wb = min(32, -(-w // 8) * 8)
-    return -(-w // wb) * wb
-
-
 def decode_range(encoded: bytes, start_frame: int, n_frames: int) -> np.ndarray:
     """Constant-time seek + decode of an arbitrary frame range.
 
