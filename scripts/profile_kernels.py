@@ -134,6 +134,32 @@ def cbr_decode_program():
     return fn, n * fpc * c
 
 
+def vbr_decode_program():
+    rng = np.random.default_rng(2)
+    n, fpc, c, sff, sfb, mcb = 12288, 5120, 2, 20, 4, 4
+    w = fpc // sff
+    # structurally valid VBR rows: per-window sizes 1..4, residual section
+    # sized for the worst case, random bytes (decode output is garbage PCM
+    # but every fetch/extract path runs exactly as in production)
+    rs = rng.integers(1, mcb + 1, (n, w, c)).astype(np.uint8)
+    bw = int(packed_byte_len(mcb, fpc * c))
+    res = jnp.asarray(rng.integers(0, 256, (n, bw), dtype=np.uint8))
+    sf = jnp.asarray(rng.integers(0, 16, (n, w, c), dtype=np.uint8))
+    rsa = jnp.asarray(rs)
+    hist = jnp.zeros((n, c, 4), jnp.int32)
+    wts = jnp.zeros((n, c, 4), jnp.int32)
+    dqt = jnp.asarray(tables.dqt_stacked(sfb).reshape(-1), jnp.int32)
+
+    def fn():
+        return decode_chunks_packed(
+            res, sf, rsa, hist, wts, dqt,
+            scale_factor_frames=sff, frames=fpc, residual_size=0,
+            use_pallas=True, max_code_bits=mcb,
+        )
+
+    return fn, n * fpc * c
+
+
 def encode_search_program():
     sff, sfb, fpc, lanes = 20, 4, 5120, 512
     s = 1 << sfb
@@ -170,6 +196,8 @@ def main() -> None:
     assert jax.devices()[0].platform == "tpu", "profiling needs the TPU"
     fn, ns = cbr_decode_program()
     _trace_one("cbr_decode", fn, ns)
+    fn, ns = vbr_decode_program()
+    _trace_one("vbr_decode", fn, ns)
     fn, ns = encode_search_program()
     _trace_one("encode_search", fn, ns)
 
