@@ -1133,7 +1133,7 @@ def decode_corpus(
             wts = np.concatenate(wts_l)
         n = res.shape[0]
         mcb = _max_code_bits(rs, residual_size)
-        outs = []
+        n_outs = 0
         for startk in range(0, n, device_batch):
             endk = min(startk + device_batch, n)
             args = (
@@ -1183,12 +1183,15 @@ def decode_corpus(
                 use_pallas=use_pallas,
                 max_code_bits=mcb,
             )
-            outs.append(out[:n_real] if pad else out)
-            pending.append(outs[-1])
+            # pending holds the ONLY reference to each device output, so a
+            # drain actually releases the device buffers (a per-group list
+            # kept them alive past the fetch, defeating the bound)
+            pending.append(out[:n_real] if pad else out)
+            n_outs += 1
             live_bytes += target * fpc * c * 2
             if live_bytes >= max_live:
                 _drain()
-        group_outs.append((members, tails, outs))
+        group_outs.append((members, tails, n_outs))
 
     # drain everything still pending -- in the common case this is the ONE
     # fetch phase for the whole corpus (full-chunk AND merged tail rows
@@ -1197,8 +1200,8 @@ def decode_corpus(
     it = iter(fetched)
     tail_pcm: dict[int, np.ndarray] = {}
     with _pt("decode_assemble"):
-        for members, tails, outs in group_outs:
-            pcm = np.concatenate([next(it) for _ in outs])  # [n, fpc, c]
+        for members, tails, n_outs in group_outs:
+            pcm = np.concatenate([next(it) for _ in range(n_outs)])  # [n, fpc, c]
             pos = 0
             for fi, b in members:
                 cnt = b.res_bytes.shape[0]
